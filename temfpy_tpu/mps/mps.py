@@ -1,0 +1,604 @@
+"""Matrix product state container with dense device tensors and host charge
+labels.
+
+Replaces the TeNPy ``networks.mps.MPS`` surface used by the reference
+(constructor with form/bc/unit_cell_width, get_SL/get_B, overlap,
+correlation_function, entanglement_spectrum, canonical forms, total charge,
+segment extraction; cf. SURVEY.md section 2.2).
+
+Conventions
+-----------
+- Site tensors have shape (chiL, d, chiR) and live on device (jax arrays).
+- ``form[i]`` is 'A' (left-canonical), 'B' (right-canonical), or None.
+- Schmidt values ``S[i]`` (host numpy) sit on bond i (left of site i);
+  finite MPS store L+1 of them with S[0] = S[L] = [1.]; infinite MPS store
+  L+1 with S[L] == S[0] (the wrap-around bond).
+- The state is  S[0]^(a0) T_0 ... T_{L-1} S[L]^(aL)  where mixed canonical
+  form 'A'*c + 'B'*(L-c) inserts diag(S[c]) between sites c-1 and c.
+- ``q_bond[i]`` holds one integer charge label per bond index; by convention
+  the label is the total charge to the LEFT of the bond.  Tensor i satisfies
+  q_bond[i][a] + q_phys[n] == q_bond[i+1][b] + qtotal[i] on nonzero entries.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Sequence
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..config import complex_dtype  # noqa: F401  (x64 side effect)
+from .charges import ChargeInfo, NO_CHARGE, sectors_of
+from .charged_linalg import charged_svd, charged_qr
+from .site import Site
+
+logger = logging.getLogger(__name__)
+
+
+class MPS:
+    """A finite or infinite matrix product state."""
+
+    def __init__(
+        self,
+        sites: Sequence[Site],
+        Bs,
+        SVs,
+        *,
+        form="B",
+        bc: str = "finite",
+        unit_cell_width: int | None = None,
+        q_bonds=None,
+        qtotals=None,
+        norm: float = 1.0,
+    ):
+        self.sites = list(sites)
+        L = len(self.sites)
+        self._B = [jnp.asarray(B) for B in Bs]
+        assert len(self._B) == L, "need one tensor per site"
+        if isinstance(form, str):
+            form = [form] * L
+        self.form = list(form)
+        assert bc in ("finite", "infinite"), f"unsupported bc {bc!r}"
+        self.bc = bc
+        self.norm = norm
+
+        # Schmidt values: normalise container to L+1 entries
+        SVs = [None if s is None else np.asarray(s, dtype=float) for s in SVs]
+        if len(SVs) == L:  # infinite convention without the wrap bond
+            SVs = SVs + [SVs[0]]
+        assert len(SVs) == L + 1, "need L+1 Schmidt-value vectors"
+        self._S = SVs
+
+        self.chinfo: ChargeInfo = self.sites[0].chinfo if self.sites else NO_CHARGE
+        if q_bonds is None:
+            q_bonds = [np.zeros(self.chi(i), dtype=np.int64) for i in range(L + 1)]
+        self.q_bond = [np.asarray(q, dtype=np.int64) for q in q_bonds]
+        assert len(self.q_bond) == L + 1
+        self.qtotal = (
+            np.zeros(L, dtype=np.int64)
+            if qtotals is None
+            else np.asarray(qtotals, dtype=np.int64).copy()
+        )
+        self.unit_cell_width = unit_cell_width if unit_cell_width is not None else L
+        self.grouped = 1
+
+    # ------------------------------------------------------------------
+    # basic accessors
+    # ------------------------------------------------------------------
+    @property
+    def L(self) -> int:
+        return len(self.sites)
+
+    @property
+    def finite(self) -> bool:
+        return self.bc == "finite"
+
+    @property
+    def dims(self):
+        return [s.d for s in self.sites]
+
+    def chi(self, bond: int) -> int:
+        """Bond dimension at bond i (left of site i)."""
+        L = self.L
+        if bond < L:
+            return int(self._B[bond].shape[0])
+        return int(self._B[L - 1].shape[2])
+
+    @property
+    def chi_max(self) -> int:
+        return max(self.chi(i) for i in range(self.L + 1))
+
+    def get_SL(self, i: int) -> np.ndarray:
+        return self._S[i]
+
+    def get_SR(self, i: int) -> np.ndarray:
+        return self._S[i + 1]
+
+    def copy(self) -> "MPS":
+        out = MPS(
+            self.sites,
+            list(self._B),
+            [None if s is None else s.copy() for s in self._S],
+            form=list(self.form),
+            bc=self.bc,
+            unit_cell_width=self.unit_cell_width,
+            q_bonds=[q.copy() for q in self.q_bond],
+            qtotals=self.qtotal.copy(),
+            norm=self.norm,
+        )
+        return out
+
+    def get_total_charge(self, only_physical: bool = False) -> int:
+        """Total charge of the state: sum of tensor qtotals plus the bond
+        offset between the first and last bond."""
+        qt = int(self.qtotal.sum())
+        if not only_physical:
+            return int(
+                self.chinfo.make_valid(
+                    qt + self.q_bond[-1][0] * 0  # labels cancel in closed contraction
+                )
+            )
+        return int(self.chinfo.make_valid(qt))
+
+    # ------------------------------------------------------------------
+    # form handling
+    # ------------------------------------------------------------------
+    def _dS(self, i: int, inverse: bool = False, cutoff: float = 1e-14):
+        S = self._S[i]
+        if S is None:
+            raise ValueError(f"Schmidt values on bond {i} unknown")
+        if inverse:
+            S = np.where(S > cutoff, 1.0 / np.maximum(S, cutoff), 0.0)
+        return jnp.asarray(S)
+
+    def get_B(self, i: int, form: str = "B"):
+        """Site tensor in the requested canonical form ('A', 'B', 'Th', 'G').
+
+        Conversions multiply/divide by neighbouring Schmidt values, exactly
+        as TeNPy does (inverse Schmidt values amplify noise by at most
+        1/svd_min; this mirrors the reference's behaviour).
+        """
+        i = i % self.L if not self.finite else i
+        T = self._B[i]
+        have = self.form[i]
+        if have is None:
+            raise ValueError(f"tensor {i} has no canonical form")
+        if form == have:
+            return T
+        # exponents of S_left, S_right for each form
+        expo = {"A": (1, 0), "B": (0, 1), "Th": (1, 1), "G": (0, 0)}
+        (al, ar), (bl, br) = expo[have], expo[form]
+        dl, dr = bl - al, br - ar
+        if dl == 1:
+            T = self._dS(i)[:, None, None] * T
+        elif dl == -1:
+            T = self._dS(i, inverse=True)[:, None, None] * T
+        if dr == 1:
+            T = T * self._dS(i + 1)[None, None, :]
+        elif dr == -1:
+            T = T * self._dS(i + 1, inverse=True)[None, None, :]
+        return T
+
+    def exact_tensors(self):
+        """Tensors G_0..G_{L-1} whose plain contraction equals the state
+        (finite MPS): Schmidt values at the A|B junction are absorbed.
+
+        Requires every form to be 'A' or 'B' with all 'A's left of all 'B's.
+        """
+        assert self.finite, "exact_tensors is for finite MPS"
+        forms = self.form
+        assert all(f in ("A", "B") for f in forms), f"non-canonical forms {forms}"
+        c = forms.index("B") if "B" in forms else self.L
+        assert all(f == "A" for f in forms[:c]) and all(
+            f == "B" for f in forms[c:]
+        ), f"mixed-up forms {forms}"
+        out = []
+        for i in range(self.L):
+            T = self._B[i]
+            if i == c:
+                T = self._dS(i)[:, None, None] * T
+            out.append(T)
+        if c == self.L:  # all A: multiply trailing S (norm factor) into last
+            out[-1] = out[-1] * self._dS(self.L)[None, None, :]
+        if self.norm != 1.0:
+            out[0] = out[0] * self.norm
+        return out
+
+    # ------------------------------------------------------------------
+    # contractions
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _env_update(E, Tb, Tk, op=None):
+        """E' = Tb^dagger E Tk with optional on-site operator on the ket.
+
+        E has legs (bra_chi, ket_chi)."""
+        if op is not None:
+            Tk = jnp.einsum("mn,anb->amb", jnp.asarray(op, dtype=Tk.dtype), Tk)
+        tmp = jnp.einsum("ab,bnc->anc", E, Tk)
+        return jnp.einsum("and,anc->dc", Tb.conj(), tmp)
+
+    def overlap(self, other: "MPS") -> complex:
+        """<self|other> for finite MPS of equal length."""
+        assert self.finite and other.finite and self.L == other.L
+        Gb = self.exact_tensors()
+        Gk = other.exact_tensors()
+        E = jnp.ones((1, 1), dtype=Gk[0].dtype)
+        for Tb, Tk in zip(Gb, Gk):
+            E = self._env_update(E, Tb, Tk)
+        return complex(E[0, 0])
+
+    def to_statevector(self) -> np.ndarray:
+        """Dense state vector (first site is the most significant index);
+        for small finite systems (tests/oracles)."""
+        assert self.finite
+        G = self.exact_tensors()
+        psi = jnp.ones((1, 1), dtype=G[0].dtype)  # (phys_so_far, chi)
+        for T in G:
+            psi = jnp.einsum("pa,anb->pnb", psi, T)
+            psi = psi.reshape(psi.shape[0] * psi.shape[1], psi.shape[2])
+        return np.asarray(psi[:, 0])
+
+    def norm_squared(self) -> float:
+        return float(np.real(self.overlap(self)))
+
+    def expectation_value(self, op_name: str, sites=None) -> np.ndarray:
+        """Per-site expectation values <op_i> (finite)."""
+        assert self.finite
+        G = self.exact_tensors()
+        if sites is None:
+            sites = range(self.L)
+        # left and right plain environments
+        Ls = [jnp.ones((1, 1), dtype=G[0].dtype)]
+        for T in G:
+            Ls.append(self._env_update(Ls[-1], T, T))
+        Rs = [jnp.ones((1, 1), dtype=G[0].dtype)]
+        for T in reversed(G):
+            Rs.append(
+                jnp.einsum("anb,dnc,bc->ad", T.conj(), T, Rs[-1]).conj().T.conj()
+            )
+        Rs = Rs[::-1]
+        out = []
+        for i in sites:
+            op = self.sites[i].get_op(op_name)
+            Ti = G[i]
+            E = self._env_update(Ls[i], Ti, Ti, op=op)
+            out.append(complex(jnp.einsum("ab,ab->", E, Rs[i + 1].conj())))
+        vals = np.asarray(out)
+        return vals
+
+    def correlation_function(self, name1: str, name2: str) -> np.ndarray:
+        r"""All-pairs two-point function  result[i, j] = <op1_i op2_j>
+        (finite MPS), threading Jordan-Wigner strings automatically for
+        fermionic operators, matching the reference's use of TeNPy
+        ``MPS.correlation_function`` (examples/slater.py:31-36).
+        """
+        assert self.finite
+        L = self.L
+        G = self.exact_tensors()
+        dtype = G[0].dtype
+
+        # plain environments
+        Ls = [jnp.ones((1, 1), dtype=dtype)]
+        for T in G:
+            Ls.append(self._env_update(Ls[-1], T, T))
+        Rs = [None] * (L + 1)
+        Rs[L] = jnp.ones((1, 1), dtype=dtype)
+        for i in reversed(range(L)):
+            T = G[i]
+            Rs[i] = jnp.einsum("anb,cnd,bd->ac", T.conj(), T, Rs[i + 1])
+
+        def close(E, i):
+            return complex(jnp.einsum("ab,ab->", E, Rs[i]))
+
+        result = np.zeros((L, L), dtype=complex)
+        needs_jw = [
+            self.sites[i].op_needs_JW.get(name1, False)
+            and self.sites[i].op_needs_JW.get(name2, False)
+            for i in range(L)
+        ]
+
+        for i in range(L):
+            site_i = self.sites[i]
+            op1 = site_i.get_op(name1)
+            op2 = site_i.get_op(name2)
+            # diagonal: on-site product op1 @ op2
+            E = self._env_update(Ls[i], G[i], G[i], op=op1 @ op2)
+            result[i, i] = close(E, i + 1)
+
+            # i < j: (op1 @ JW)_i, JW strings, op2_j
+            opi = op1 @ site_i.get_op("JW") if needs_jw[i] else op1
+            E = self._env_update(Ls[i], G[i], G[i], op=opi)
+            for j in range(i + 1, L):
+                site_j = self.sites[j]
+                result[i, j] = close(
+                    self._env_update(E, G[j], G[j], op=site_j.get_op(name2)), j + 1
+                )
+                if j < L - 1:
+                    string = site_j.get_op("JW") if needs_jw[i] else None
+                    E = self._env_update(E, G[j], G[j], op=string)
+
+            # i > j: (JW @ op2)_j, JW strings, op1_i   (here the loop variable
+            # i plays the role of j in result[*, j])
+            opj = site_i.get_op("JW") @ op2 if needs_jw[i] else op2
+            E = self._env_update(Ls[i], G[i], G[i], op=opj)
+            for k in range(i + 1, L):
+                site_k = self.sites[k]
+                result[k, i] = close(
+                    self._env_update(E, G[k], G[k], op=site_k.get_op(name1)), k + 1
+                )
+                if k < L - 1:
+                    string = site_k.get_op("JW") if needs_jw[i] else None
+                    E = self._env_update(E, G[k], G[k], op=string)
+        return result
+
+    # ------------------------------------------------------------------
+    # entanglement
+    # ------------------------------------------------------------------
+    def entanglement_spectrum(self, by_charge: bool = False):
+        """Per-bond entanglement spectrum -2 log S (TeNPy-compatible shape).
+
+        With ``by_charge``, returns per bond a list of (charge, spectrum)
+        pairs grouped by the bond charge labels.
+        """
+        bonds = range(1, self.L) if self.finite else range(self.L)
+        out = []
+        for i in bonds:
+            S = self._S[i]
+            if not by_charge:
+                out.append(-2 * np.log(S))
+            else:
+                groups = []
+                for q, idx in sectors_of(self.q_bond[i]).items():
+                    groups.append(((q,), -2 * np.log(S[idx])))
+                out.append(groups)
+        return out
+
+    def entanglement_entropy(self) -> np.ndarray:
+        bonds = range(1, self.L) if self.finite else range(self.L)
+        out = []
+        for i in bonds:
+            S2 = self._S[i] ** 2
+            S2 = S2[S2 > 1e-30]
+            out.append(float(-np.sum(S2 * np.log(S2))))
+        return np.asarray(out)
+
+    # ------------------------------------------------------------------
+    # canonicalisation
+    # ------------------------------------------------------------------
+    def canonical_form_finite(self, cutoff: float = 1e-12, chi_max: int | None = None):
+        """Brings a finite MPS into canonical form (right-canonical 'B' with
+        Schmidt values on every bond), truncating Schmidt values below
+        ``cutoff`` (relative).  Replaces TeNPy ``canonical_form_finite`` used
+        after Gutzwiller projection (reference gutzwiller.py:467-470).
+        """
+        assert self.finite
+        L = self.L
+        chinfo = self.chinfo
+        # exact state tensors (any starting form); if forms unknown, the raw
+        # tensors are taken as-is (used by gutzwiller, which invalidates form)
+        try:
+            G = self.exact_tensors()
+        except (AssertionError, ValueError):
+            G = list(self._B)
+
+        # ---- left-to-right QR sweep: make everything left-canonical ----
+        qt = self.qtotal.copy()
+        carry = jnp.ones((1, 1), dtype=G[0].dtype)
+        q_carry = self.q_bond[0].copy()
+        A_list, q_bonds = [], [self.q_bond[0].copy()]
+        for i in range(L):
+            d = self.sites[i].d
+            T = jnp.einsum("ab,bnc->anc", carry, G[i])
+            chiL, _, chiR = T.shape
+            M = T.reshape(chiL * d, chiR)
+            q_row = (q_carry[:, None] + self.sites[i].charges[None, :]).reshape(-1)
+            Q, R, q_mid = charged_qr(
+                M, q_row, self.q_bond[i + 1], chinfo, qtotal=int(qt[i])
+            )
+            A_list.append(Q.reshape(chiL, d, Q.shape[1]))
+            carry = R
+            q_carry = chinfo.make_valid(np.asarray(q_mid) + qt[i])
+            q_bonds.append(q_carry.copy())
+            qt[i] = 0  # charge absorbed into bond labels
+        # trailing R is 1x1 (norm * phase)
+        tail = carry
+        norm = float(jnp.abs(tail[0, 0])) if tail.size == 1 else float(
+            jnp.linalg.norm(tail)
+        )
+        phase = tail / norm
+
+        # absorb the phase and norm into the last tensor for the next sweep
+        A_list[-1] = jnp.einsum("anb,bc->anc", A_list[-1], phase)
+
+        # ---- right-to-left SVD sweep: truncate, collect Schmidt values ----
+        B_list = [None] * L
+        S_list = [None] * (L + 1)
+        S_list[L] = np.ones(1)
+        q_bonds[L] = q_bonds[L][:1] * 0 + (
+            q_bonds[L][:1] if len(q_bonds[L]) else 0
+        )  # 1-dim tail bond keeps its label
+        carry = None
+        for i in reversed(range(L)):
+            T = A_list[i]
+            if carry is not None:
+                T = jnp.einsum("anb,bc->anc", T, carry)
+            chiL, d, chiR = T.shape
+            M = T.reshape(chiL, d * chiR)
+            q_col = (
+                q_bonds[i + 1][None, :] - 0
+            )  # placeholder; recompute below properly
+            # column charge labels: q_bond[i+1][c] - q_phys[n] in left-charge
+            # convention (the physical charge moves from row to column side)
+            q_col = (
+                np.repeat(self.sites[i].charges[:, None], chiR, axis=1) * 0
+                + q_bonds[i + 1][None, :]
+                - self.sites[i].charges[:, None]
+            ).reshape(-1)
+            U, S, Vh, q_mid, _err = charged_svd(
+                M,
+                q_bonds[i],
+                q_col,
+                chinfo,
+                qtotal=0,
+                cutoff=cutoff,
+                chi_max=chi_max,
+                normalize=True,
+            )
+            B_list[i] = Vh.reshape(Vh.shape[0], d, chiR)
+            S_list[i] = S
+            q_bonds[i] = chinfo.make_valid(np.asarray(q_mid))
+            carry = U * jnp.asarray(S)[None, :]
+        # leftmost carry is 1x1 phase; absorb into first tensor
+        B_list[0] = jnp.einsum("ab,bnc->anc", carry, B_list[0])
+        S_list[0] = np.ones(1)
+
+        self._B = B_list
+        self._S = S_list
+        self.form = ["B"] * L
+        self.q_bond = q_bonds
+        self.qtotal = qt
+        self.norm = norm
+        return self
+
+    def canonical_form_infinite(self, cutoff: float = 1e-12, tol: float = 1e-12, max_iter: int = 2000):
+        """Brings an infinite MPS into canonical form via the fixed points of
+        the unit-cell transfer matrix (Orus-Vidal style), replacing TeNPy's
+        ``canonical_form_infinite1`` (reference gutzwiller.py:473).
+
+        Works in-place; assumes the dominant transfer eigenvalue is
+        non-degenerate (injective MPS).
+        """
+        assert not self.finite
+        L = self.L
+        T = list(self._B)  # treat current tensors as the cell, arbitrary gauge
+        chi = T[0].shape[0]
+        dtype = T[0].dtype
+
+        def tm_right(X):
+            for Ti in reversed(T):
+                X = jnp.einsum("anb,cnd,bd->ac", Ti, Ti.conj(), X)
+            return X
+
+        def tm_left(X):
+            for Ti in T:
+                X = jnp.einsum("ab,anc,bnd->cd", X, Ti, Ti.conj())
+            return X
+
+        def dominant(fn):
+            X = jnp.eye(chi, dtype=dtype)
+            lam = 1.0
+            for _ in range(max_iter):
+                Y = fn(X)
+                Y = (Y + Y.conj().T) / 2
+                lam_new = float(jnp.linalg.norm(Y))
+                Y = Y / lam_new
+                if float(jnp.linalg.norm(Y - X)) < tol:
+                    X = Y
+                    lam = lam_new
+                    break
+                X = Y
+                lam = lam_new
+            return X, lam
+
+        rho_R, lam = dominant(tm_right)
+        rho_L, _ = dominant(tm_left)
+
+        # normalise the state: divide each tensor by lam^(1/(2L))
+        scale = lam ** (-0.5 / L)
+        T = [Ti * scale for Ti in T]
+
+        # factor the fixed points
+        eR, UR = jnp.linalg.eigh(rho_R)
+        eR = jnp.clip(eR, 0.0, None)
+        X = UR * jnp.sqrt(eR)[None, :]  # rho_R = X X^dagger
+        eL, UL = jnp.linalg.eigh(rho_L)
+        eL = jnp.clip(eL, 0.0, None)
+        Y = (UL * jnp.sqrt(eL)[None, :]).conj().T  # rho_L = Y^dagger Y
+
+        # boundary bond: Y X = U S V^dagger
+        U, S, Vh = jnp.linalg.svd(Y @ X)
+        S_host = np.asarray(S)
+        keep = S_host > cutoff * S_host.max()
+        k = int(keep.sum())
+        U, S, Vh = U[:, :k], S[:k], Vh[:k, :]
+        S_host = S_host[:k]
+        S_host = S_host / np.linalg.norm(S_host)
+
+        # gauge transforms to insert at the cell boundary
+        # left side: G_L = S^{-1} U^dag Y ; right side: G_R = X V S^{... }
+        pinvS = jnp.asarray(1.0 / S_host)
+        GL = (U.conj().T @ Y)  # maps old left bond -> new bond, carries S
+        GR = X @ Vh.conj().T  # old right bond -> new bond
+        # new cell: B-form requires  cell' = S^{-1} GL cell GR, with S at both ends
+        T[0] = jnp.einsum("a,ab,bnc->anc", pinvS, GL, T[0])
+        T[-1] = jnp.einsum("anb,bc->anc", T[-1], GR)
+
+        # now the wrap-around bond is canonical with Schmidt values S_host.
+        # canonicalise the interior bonds with a finite-style sweep on the
+        # open cell  diag(S) T_0 ... T_{L-1} diag(S)  (fixing both ends).
+        G = [Ti for Ti in T]
+        G[0] = jnp.asarray(S_host)[:, None, None] * G[0]
+        G[-1] = G[-1] * jnp.asarray(S_host)[None, None, :]
+
+        chinfo = self.chinfo
+        # bond charges: dominant-eigenvector gauge scrambles labels; only the
+        # trivial (no-charge) case retains meaningful labels after this.
+        q_bonds = [np.zeros(k, np.int64)] + [None] * (L - 1) + [np.zeros(k, np.int64)]
+
+        # left-to-right QR (no truncation)
+        carry = jnp.eye(k, dtype=dtype)
+        A_list = []
+        q_carry = q_bonds[0]
+        for i in range(L):
+            Ti = jnp.einsum("ab,bnc->anc", carry, G[i])
+            chiL, d, chiR = Ti.shape
+            M = Ti.reshape(chiL * d, chiR)
+            q_row = (q_carry[:, None] + self.sites[i].charges[None, :] * 0).reshape(-1)
+            Q, R = jnp.linalg.qr(M, mode="reduced")
+            A_list.append(Q.reshape(chiL, d, Q.shape[1]))
+            carry = R
+            q_carry = np.zeros(Q.shape[1], np.int64)
+        # right-to-left SVD with S boundary
+        B_list = [None] * L
+        S_list = [None] * (L + 1)
+        S_list[0] = S_list[L] = S_host
+        carry_r = carry  # (k', k) leftover mapping onto right boundary
+        for i in reversed(range(L)):
+            Ti = A_list[i]
+            Ti = jnp.einsum("anb,bc->anc", Ti, carry_r)
+            chiL, d, chiR = Ti.shape
+            M = Ti.reshape(chiL, d * chiR)
+            Ub, Sb, Vhb = jnp.linalg.svd(M, full_matrices=False)
+            Sb_host = np.asarray(Sb)
+            keep = Sb_host > cutoff * Sb_host.max()
+            kk = int(keep.sum())
+            Ub, Sb_host, Vhb = Ub[:, :kk], Sb_host[:kk], Vhb[:kk, :]
+            nrm = np.linalg.norm(Sb_host)
+            Sb_host = Sb_host / nrm
+            B_list[i] = Vhb.reshape(kk, d, chiR)
+            if i > 0:
+                S_list[i] = Sb_host
+                carry_r = Ub * jnp.asarray(Sb_host * nrm)[None, :]
+            else:
+                # wrap: leftover must be ~ diag(S) x unitary phase; absorb
+                carry_r = Ub * jnp.asarray(Sb_host * nrm)[None, :]
+                # B-form: T_0 should absorb S^{-1} carry; carry ~ diag(S) U
+                fix = jnp.asarray(1.0 / S_host)[:, None] * carry_r
+                B_list[0] = jnp.einsum("ab,bnc->anc", fix, B_list[0])
+        self._B = B_list
+        self._S = S_list
+        self.form = ["B"] * L
+        self.q_bond = [
+            np.zeros(B_list[i].shape[0], np.int64) for i in range(L)
+        ] + [np.zeros(B_list[-1].shape[2], np.int64)]
+        self.qtotal = np.zeros(L, np.int64)
+        return self
+
+    def __repr__(self):
+        chis = [self.chi(i) for i in range(self.L + 1)]
+        return (
+            f"MPS(L={self.L}, bc={self.bc!r}, chi_max={max(chis)}, "
+            f"chinfo={self.chinfo}, forms={''.join(str(f)[0] for f in self.form)})"
+        )

@@ -1,0 +1,213 @@
+"""Batched dense linear algebra for the MPS-conversion pipeline.
+
+Key kernels
+-----------
+- :func:`eigh_blocks`: eigendecomposition of *all* leading/trailing principal
+  blocks of a Hermitian matrix in one batched, padded ``eigh`` — this replaces
+  the reference's per-cut LAPACK loop (reference slater.py:1301-1346 does L
+  independent ``eigh`` calls in Python) with a single device executable.
+- :func:`batched_det_gather`: determinants of many submatrices of one parent
+  matrix, gathered by index lists and padded with an identity extension so
+  mixed sizes batch together (replaces reference slater.py:828-869).
+- :func:`block_svd`: completes an SVD whose singular vectors are known up to
+  rotations inside degenerate eigenvalue blocks (reference utils.py:19-96),
+  with the per-multiplicity batches evaluated on device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import complex_dtype, real_dtype  # noqa: F401  (x64 side effect)
+
+
+# --------------------------------------------------------------------------
+# Padded batched eigendecomposition of principal blocks
+# --------------------------------------------------------------------------
+
+_PAD_EIGENVALUE = 2.0  # outside [0, 1], the spectrum of any correlation block
+
+
+@partial(jax.jit, static_argnames=("side",))
+def _eigh_blocks_impl(C, sizes, side):
+    L = C.shape[-1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, L, 1), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, L), 2)
+    x = sizes[:, None, None].astype(jnp.int32)
+    if side == "L":
+        keep = (row < x) & (col < x)
+        pad_diag = row[..., 0] >= x[..., 0]  # (ncuts, L)
+    else:  # side == "R": trailing blocks C[L-size:, L-size:]
+        keep = (row >= L - x) & (col >= L - x)
+        pad_diag = row[..., 0] < (L - x[..., 0])
+    P = jnp.where(keep, C[None, :, :], 0.0)
+    P = P + jnp.where(pad_diag, _PAD_EIGENVALUE, 0.0)[:, None, :] * jnp.eye(
+        L, dtype=C.dtype
+    )
+    e, v = jnp.linalg.eigh(P)
+    return e, v
+
+
+def eigh_blocks(C, sizes, side: str = "L", chunk: int | None = None):
+    """Eigendecompositions of many principal blocks of a Hermitian matrix.
+
+    Parameters
+    ----------
+    C:
+        (L, L) Hermitian matrix on device (a correlation matrix: its
+        eigenvalues lie in [0, 1]; padding eigenvalues are placed at 2.0).
+    sizes:
+        1D int array of block sizes ``x``.
+    side:
+        "L" for leading blocks ``C[:x, :x]``, "R" for trailing ``C[-x:, -x:]``.
+    chunk:
+        Optional micro-batch size for memory control; results are concatenated.
+
+    Returns
+    -------
+    e: (ncuts, L) ascending eigenvalues, the first ``x`` per row are the block
+       eigenvalues; the remaining ``L - x`` equal the padding value 2.0.
+    v: (ncuts, L, L) eigenvectors (columns).  For side "L" block vectors live
+       in coordinates 0..x-1; for side "R", in coordinates L-x..L-1.
+    """
+    C = jnp.asarray(C)
+    sizes = jnp.asarray(sizes, dtype=jnp.int32)
+    assert side in ("L", "R")
+    if chunk is None or sizes.shape[0] <= chunk:
+        return _eigh_blocks_impl(C, sizes, side)
+    es, vs = [], []
+    n = sizes.shape[0]
+    # pad the last chunk to full size so only one executable is compiled
+    n_pad = (-n) % chunk
+    sizes_p = jnp.concatenate([sizes, jnp.full((n_pad,), 1, jnp.int32)])
+    for i in range(0, n + n_pad, chunk):
+        e, v = _eigh_blocks_impl(C, sizes_p[i : i + chunk], side)
+        es.append(e)
+        vs.append(v)
+    e = jnp.concatenate(es)[:n]
+    v = jnp.concatenate(vs)[:n]
+    return e, v
+
+
+# --------------------------------------------------------------------------
+# Batched determinants of gathered submatrices
+# --------------------------------------------------------------------------
+
+
+def block_diag_identity_pad(M, pad: int):
+    """Returns ``block_diag(M, I_pad)``: the identity extension used to embed
+    k x k determinant problems into k_max x k_max ones without changing the
+    determinant."""
+    M = jnp.asarray(M)
+    m = M.shape[-1]
+    out = jnp.zeros(M.shape[:-2] + (m + pad, m + pad), dtype=M.dtype)
+    out = out.at[..., :m, :m].set(M)
+    eye = jnp.eye(pad, dtype=M.dtype)
+    out = out.at[..., m:, m:].set(eye)
+    return out
+
+
+@jax.jit
+def _det_gather_impl(M_aug, bra_idx, ket_idx):
+    # sub[i, j, s, t] = M_aug[bra_idx[i, s], ket_idx[j, t]]
+    sub = M_aug[bra_idx[:, None, :, None], ket_idx[None, :, None, :]]
+    return jnp.linalg.det(sub)
+
+
+def batched_det_gather(M, bra_idx, ket_idx, chunk: int | None = None):
+    """Determinants ``det(M[bra_idx[i]][:, ket_idx[j]])`` for all pairs (i, j).
+
+    Index rows may be padded to a common width ``k``: padding slots in
+    position ``s`` must hold the sentinel value ``M.shape[0] + s`` in *both*
+    ``bra_idx`` and ``ket_idx``; they then address an identity extension of
+    ``M`` and leave determinants unchanged.  This lets submatrices of
+    different true sizes share one batch (static shapes for XLA).
+
+    Parameters
+    ----------
+    M: (m, m) parent matrix (device).
+    bra_idx: (nb, k) int row-index lists.
+    ket_idx: (nk, k) int column-index lists.
+    chunk: optional micro-batch over the bra axis.
+
+    Returns
+    -------
+    (nb, nk) array of determinants.
+    """
+    M = jnp.asarray(M)
+    bra_idx = jnp.asarray(bra_idx, dtype=jnp.int32)
+    ket_idx = jnp.asarray(ket_idx, dtype=jnp.int32)
+    k = bra_idx.shape[1]
+    assert ket_idx.shape[1] == k, "bra and ket index widths must match"
+    if k == 0:
+        return jnp.ones((bra_idx.shape[0], ket_idx.shape[0]), dtype=M.dtype)
+    M_aug = block_diag_identity_pad(M, k)
+    nb = bra_idx.shape[0]
+    if chunk is None or nb <= chunk:
+        return _det_gather_impl(M_aug, bra_idx, ket_idx)
+    outs = [
+        _det_gather_impl(M_aug, bra_idx[i : i + chunk], ket_idx)
+        for i in range(0, nb, chunk)
+    ]
+    return jnp.concatenate(outs, axis=0)
+
+
+# --------------------------------------------------------------------------
+# Degenerate-block SVD completion
+# --------------------------------------------------------------------------
+
+
+def block_svd(
+    CLR,
+    vL,
+    vR,
+    e,
+    degeneracy_tol: float = 1e-12,
+):
+    r"""Completes a singular-value decomposition of ``CLR`` whose left/right
+    singular vectors ``vL``/``vR`` are known only up to rotations within
+    degenerate blocks of the eigenvalues ``e`` (reference utils.py:19-96).
+
+    ``vL^H @ CLR @ vR`` is assumed block diagonal with blocks delineated by
+    runs of approximately-equal entries of ``e``; each block is SVD'd (on
+    device, batched by multiplicity) and the rotations are applied to the
+    vectors.
+
+    Returns the rotated ``(vL, vR)`` as jax arrays (functional — inputs are
+    not mutated, unlike the reference which overwrites in place).
+    """
+    e = np.asarray(e)
+    assert vL.shape[1] == vR.shape[1] == e.size, "eigenvalue/vector count mismatch"
+    CLR = jnp.asarray(CLR)
+    dtype = jnp.result_type(CLR, vL, vR)
+    vL = jnp.asarray(vL, dtype)
+    vR = jnp.asarray(vR, dtype)
+    assert vL.shape[0] == CLR.shape[0], "row dimension mismatch"
+    assert vR.shape[0] == CLR.shape[1], "column dimension mismatch"
+
+    if e.size == 0:
+        return vL, vR
+
+    # split into runs of degenerate eigenvalues (host: e is tiny)
+    (split,) = np.nonzero(np.abs(np.diff(e)) > degeneracy_tol)
+    starts = np.concatenate(([0], split + 1))
+    ends = np.concatenate((split + 1, [e.size]))
+    mult = ends - starts
+
+    for m in np.unique(mult):
+        sel = starts[mult == m]
+        # (d, m) indices of all degeneracy blocks with multiplicity m
+        idx = sel[:, None] + np.arange(m)[None, :]
+        vL_blk = vL[:, idx]  # (K, d, m)
+        vR_blk = vR[:, idx]
+        s_blk = jnp.einsum("kdi,km,mdj->dij", vL_blk.conj(), CLR, vR_blk)
+        U, _, Vh = jnp.linalg.svd(s_blk)
+        vL = vL.at[:, idx].set(jnp.einsum("idk,dkj->idj", vL_blk, U))
+        vR = vR.at[:, idx].set(jnp.einsum("idk,djk->idj", vR_blk, Vh.conj()))
+
+    return vL, vR

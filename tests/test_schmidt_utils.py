@@ -1,0 +1,115 @@
+"""Tests for the truncation policy and subset enumeration
+(semantics of reference schmidt_utils.py:18-324)."""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from temfpy_tpu.schmidt_utils import StoppingCondition, lowest_sums, to_stopping_condition
+
+
+def brute_force_lowest_sums(a, k):
+    """All 2^n subsets sorted by sum; returns first k (sums, sets)."""
+    n = len(a)
+    subsets = list(itertools.product([False, True], repeat=n))
+    sums = [sum(x for x, s in zip(a, sub) if s) for sub in subsets]
+    order = np.argsort(sums, kind="stable")
+    return (
+        np.asarray(sums)[order][:k],
+        np.asarray(subsets, dtype=bool)[order][:k],
+    )
+
+
+def test_defaults():
+    sc = StoppingCondition()
+    assert sc.svd_min == 1e-6
+    assert sc.degeneracy_tol == 1e-12
+    assert sc.is_sector(42)
+
+
+def test_to_stopping_condition():
+    sc = to_stopping_condition({"chi_max": 7})
+    assert sc.chi_max == 7
+    assert to_stopping_condition(sc) is sc
+    with pytest.raises(TypeError):
+        to_stopping_condition([1, 2])
+
+
+def test_sector_forms():
+    assert StoppingCondition(sectors=3).is_sector(3)
+    assert not StoppingCondition(sectors=3).is_sector(4)
+    sc = StoppingCondition(sectors=[1, 2])
+    assert sc.is_sector(1) and sc.is_sector(2) and not sc.is_sector(3)
+    sc = StoppingCondition(sectors=lambda q: q % 2 == 0)
+    assert sc.is_sector(4) and not sc.is_sector(5)
+
+
+def test_truncate_chi_max():
+    sc = StoppingCondition(chi_max=3, svd_min=1e-10)
+    logvals = np.array([0.0, 1.0, 2.0, 3.0, 4.0])
+    assert sc.truncate(logvals) == 3
+
+
+def test_truncate_degeneracy():
+    # cannot cut inside the degenerate pair at positions 2,3
+    sc = StoppingCondition(chi_max=3, svd_min=1e-10, degeneracy_tol=1e-8)
+    logvals = np.array([0.0, 1.0, 2.0, 2.0 + 1e-12, 4.0])
+    assert sc.truncate(logvals) == 2
+
+
+def test_truncate_svd_min():
+    sc = StoppingCondition(svd_min=np.exp(-2.5))
+    logvals = np.array([0.0, 1.0, 2.0, 3.0, 4.0])
+    assert sc.truncate(logvals) == 3
+
+
+def test_lowest_sums_vs_bruteforce():
+    rng = np.random.default_rng(1)
+    for trial in range(20):
+        n = rng.integers(1, 10)
+        a = rng.normal(size=n)
+        chi = int(rng.integers(1, 12))
+        sc = StoppingCondition(chi_max=chi, svd_min=1e-12)
+        sums, sets = lowest_sums(a, sc)
+        k = len(sums)
+        bf_sums, _ = brute_force_lowest_sums(a, k)
+        np.testing.assert_allclose(sums, bf_sums, atol=1e-12)
+        # sets must reproduce sums
+        np.testing.assert_allclose(sets @ a, sums, atol=1e-12)
+        assert k <= chi
+
+
+def test_lowest_sums_sector_filter():
+    a = np.array([0.5, 1.0, 1.5, -0.25])
+    sc = StoppingCondition(chi_max=8, svd_min=1e-12, sectors=2)
+    sums, sets = lowest_sums(a, sc, filled_left=1)
+    # every kept set must have exactly 1 occupied orbital (1 filled + 1 = 2)
+    assert np.all(sets.sum(axis=1) == 1)
+    assert np.all(np.diff(sums) >= -1e-15)
+
+
+def test_lowest_sums_sector_filter_right():
+    a = np.array([0.5, 1.0, -0.3])
+    sc = StoppingCondition(chi_max=20, svd_min=1e-12, sectors=lambda q: q <= 4)
+    sums, sets = lowest_sums(a, sc, filled_right=2)
+    n_right = 2 + (a.size - sets.sum(axis=1))
+    assert np.all(n_right <= 4)
+
+
+def test_lowest_sums_empty_array():
+    sc = StoppingCondition(chi_max=4)
+    sums, sets = lowest_sums(np.zeros(0), sc)
+    assert sums.shape == (1,) and sets.shape == (1, 0)
+    sc = StoppingCondition(chi_max=4, sectors=5)
+    sums, sets = lowest_sums(np.zeros(0), sc, filled_left=3)
+    assert sums.shape == (0,)
+
+
+def test_lowest_sums_first_set_filtered():
+    # the minimum-sum set is out-of-sector: enumeration must continue past it
+    a = np.array([-1.0, 0.5])
+    sc = StoppingCondition(chi_max=4, svd_min=1e-3, sectors=lambda q: q != 1)
+    sums, sets = lowest_sums(a, sc)
+    assert len(sums) >= 1
+    assert all(s.sum() != 1 for s in sets)
