@@ -13,6 +13,7 @@ from .linalg import (  # noqa: F401
     block_svd,
     eigh_blocks,
     batched_det_gather,
+    batched_det_pairs,
     block_diag_identity_pad,
 )
 from .pfaffian import batched_pfaffian, batched_pfaffian_gather  # noqa: F401

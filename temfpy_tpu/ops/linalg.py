@@ -113,6 +113,40 @@ def block_diag_identity_pad(M, pad: int):
 
 
 @jax.jit
+def _det_pairs_impl(M_aug, row_idx, col_idx):
+    # sub[p, s, t] = M_aug[row_idx[p, s], col_idx[p, t]]
+    sub = M_aug[row_idx[:, :, None], col_idx[:, None, :]]
+    return jnp.linalg.det(sub)
+
+
+def batched_det_pairs(M, row_idx, col_idx, chunk: int | None = None):
+    """Determinants ``det(M[row_idx[p]][:, col_idx[p]])`` for a flat list of
+    (row-list, col-list) pairs — the workhorse of the MPS tensor fill, where
+    only charge-matching (bra, ket) pairs are evaluated.
+
+    Padding sentinels work as in :func:`batched_det_gather`: slot ``s`` values
+    ``M.shape[0] + s`` address an identity extension.  An all-sentinel pair
+    yields determinant 1 (used to pad the batch axis to a bucket size).
+    """
+    M = jnp.asarray(M)
+    row_idx = jnp.asarray(row_idx, dtype=jnp.int32)
+    col_idx = jnp.asarray(col_idx, dtype=jnp.int32)
+    k = row_idx.shape[1]
+    assert col_idx.shape == row_idx.shape
+    if k == 0:
+        return jnp.ones((row_idx.shape[0],), dtype=M.dtype)
+    M_aug = block_diag_identity_pad(M, k)
+    P = row_idx.shape[0]
+    if chunk is None or P <= chunk:
+        return _det_pairs_impl(M_aug, row_idx, col_idx)
+    outs = [
+        _det_pairs_impl(M_aug, row_idx[i : i + chunk], col_idx[i : i + chunk])
+        for i in range(0, P, chunk)
+    ]
+    return jnp.concatenate(outs)
+
+
+@jax.jit
 def _det_gather_impl(M_aug, bra_idx, ket_idx):
     # sub[i, j, s, t] = M_aug[bra_idx[i, s], ket_idx[j, t]]
     sub = M_aug[bra_idx[:, None, :, None], ket_idx[None, :, None, :]]
