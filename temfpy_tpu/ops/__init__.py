@@ -16,4 +16,8 @@ from .linalg import (  # noqa: F401
     batched_det_pairs,
     block_diag_identity_pad,
 )
-from .pfaffian import batched_pfaffian, batched_pfaffian_gather  # noqa: F401
+from .pfaffian import (  # noqa: F401
+    batched_pfaffian,
+    batched_pfaffian_gather,
+    batched_pfaffian_pairs,
+)

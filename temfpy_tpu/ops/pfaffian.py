@@ -117,6 +117,36 @@ def symplectic_pad(N, pad: int):
 
 
 @jax.jit
+def _pf_pairs_impl(N_aug, idx):
+    sub = N_aug[idx[:, :, None], idx[:, None, :]]
+    return jax.vmap(_pfaffian_single)(sub)
+
+
+def batched_pfaffian_pairs(N, idx, pad_slots: int, chunk: int | None = None):
+    """Pfaffians ``Pf(N[idx[p], idx[p]])`` for a flat list of index rows.
+
+    Index slots holding values >= N.shape[0] address a symplectic (J-block)
+    extension appended to ``N``; each row's padding must be a contiguous tail
+    of consecutive sentinels starting at ``N.shape[0]`` with an even count,
+    so the padded Pfaffian equals the unpadded one exactly (no permutation
+    sign).  An all-sentinel row evaluates to 1 (batch-axis padding).
+    """
+    N = jnp.asarray(N)
+    idx = jnp.asarray(idx, dtype=jnp.int32)
+    w = idx.shape[1]
+    if w == 0:
+        return jnp.ones((idx.shape[0],), dtype=N.dtype)
+    assert w % 2 == 0, "total index count per row must be even"
+    N_aug = symplectic_pad(N, pad_slots) if pad_slots else N
+    P = idx.shape[0]
+    if chunk is None or P <= chunk:
+        return _pf_pairs_impl(N_aug, idx)
+    return jnp.concatenate(
+        [_pf_pairs_impl(N_aug, idx[i : i + chunk]) for i in range(0, P, chunk)]
+    )
+
+
+@jax.jit
 def _pf_gather_impl(N_aug, bra_idx, ket_idx):
     # sub[i, j, s, t] = N_aug[row[i,j,s], row[i,j,t]] where row = concat indices
     rows = jnp.concatenate(

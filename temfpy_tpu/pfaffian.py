@@ -1,0 +1,1155 @@
+r"""Pfaffian (BdG / Nambu mean-field) wave functions -> MPS, TPU-first.
+
+Same capabilities as the reference ``temfpy/pfaffian.py`` (Majorana and
+complex-fermion bases, Nambu symmetry checks, Bogoliubov Schmidt modes with
+the lambda=1/2 machinery, Bloch-Messiah vacuum parity, Pfaffian-overlap MPS
+tensors, C_to_MPS / H_to_MPS drivers; reference lines cited per symbol),
+re-architected for XLA:
+
+- block eigendecompositions of the Majorana correlation matrix for all cuts
+  run as slabs of one batched padded eigh,
+- every Bogoliubov-overlap Pfaffian of a site is evaluated in one
+  symplectically-padded batch (:func:`temfpy_tpu.ops.pfaffian
+  .batched_pfaffian_pairs`) instead of one pfapack ctypes call per matrix in
+  a Python loop (reference pfaffian.py:1413-1426),
+- MPS tensors are dense (chiL, d, chiR) device arrays with Z2 parity labels.
+
+Basis conventions (identical to the reference, see its module docstring):
+complex-fermion layout interleaves (c^dag_i, c_i) per site; the Majorana
+basis is gamma_{2n} = (c^dag_n + c_n)/sqrt(2), gamma_{2n+1} =
+i (c^dag_n - c_n)/sqrt(2).
+"""
+
+from __future__ import annotations
+
+import logging
+import warnings
+from dataclasses import dataclass
+from functools import partial
+from typing import Type
+
+import numpy as np
+from scipy.stats import ortho_group
+
+import jax.numpy as jnp
+
+from .config import DIAG_TOL as _DIAG_TOL
+from .mps import MPS, FermionSite
+from .ops.linalg import block_svd, eigh_blocks
+from .ops.pfaffian import batched_pfaffian_pairs
+from .schmidt_utils import StoppingCondition, lowest_sums, to_stopping_condition
+from .testing import (
+    assert_allclose,
+    assert_array_less,
+    check_schmidt_decomposition,
+)
+from .utils import HT, normalize_SV
+
+logger = logging.getLogger(__name__)
+
+fermion_site = FermionSite(conserve="parity")
+"""Lattice site prototype for the parity-conserving fermion MPS
+(reference pfaffian.py:63)."""
+
+
+#### BASIS TRANSFORMATIONS ####
+#### --------------------- ####
+
+_C2M = np.array([[1, 1], [1j, -1j]]) / 2**0.5
+_M2C = np.array([[1, -1j], [1, 1j]]) / 2**0.5
+
+
+def _apply_site_unitary(v, M):
+    """Applies a 2x2 unitary on the per-site Nambu index of the row space."""
+    v = jnp.asarray(v)
+    n = v.shape[0]
+    assert n % 2 == 0, "Got vector(s) of odd size (cannot be Nambu)"
+    v = v.reshape(n // 2, 2, *v.shape[1:])
+    v = jnp.einsum("xa...,ca->xc...", v, jnp.asarray(M, complex))
+    return v.reshape(n, *v.shape[2:])
+
+
+def vector_C2M(v):
+    """Mode vectors complex-fermion -> Majorana (reference pfaffian.py:75-100)."""
+    return _apply_site_unitary(v, _C2M)
+
+
+def vector_M2C(v):
+    """Mode vectors Majorana -> complex-fermion (reference pfaffian.py:103-128)."""
+    return _apply_site_unitary(v, _M2C)
+
+
+def _apply_matrix_unitary(H, M):
+    H = jnp.asarray(H)
+    n, m = H.shape
+    assert n % 2 == 0 and m % 2 == 0, "Matrix sides must be even (Nambu)"
+    H = H.reshape(n // 2, 2, m // 2, 2)
+    Mc = jnp.asarray(M, complex)
+    H = jnp.einsum("xayb,ca,db->xcyd", H, Mc, Mc.conj())
+    return H.reshape(n, m)
+
+
+def matrix_C2M(H):
+    """Hamiltonian/correlation matrix complex-fermion -> Majorana
+    (reference pfaffian.py:131-156)."""
+    return _apply_matrix_unitary(H, _C2M)
+
+
+def matrix_M2C(H):
+    """Hamiltonian/correlation matrix Majorana -> complex-fermion
+    (reference pfaffian.py:159-184)."""
+    return _apply_matrix_unitary(H, _M2C)
+
+
+#### NAMBU UTILITIES ####
+#### --------------- ####
+
+
+def assert_nambu(
+    C,
+    basis: str | None = None,
+    offset: float | None = None,
+    name: str = "",
+    rtol: float = 0,
+    atol: float = 1e-10,
+):
+    r"""Checks (and regularises) Nambu symmetry of a matrix
+    (reference pfaffian.py:189-286).
+
+    In the Majorana basis a Nambu matrix is imaginary and antisymmetric up to
+    ``offset/2`` on the diagonal; in the complex-fermion basis the 2x2 blocks
+    obey C11 + C22* = offset*I, C12 = -C21*.
+    """
+    C = np.asarray(C)
+    n, m = C.shape
+    assert n == m > 0, f"Got non-square {name}"
+    assert n % 2 == 0, f"Got {name} with odd side length (cannot be Nambu)"
+    n //= 2
+
+    tol = dict(atol=atol, rtol=rtol)
+    assert_allclose(C, HT(C), **tol, err_msg=f"{name} is not Hermitian")
+    C = (C + HT(C)) / 2
+
+    if basis == "M":
+        err = "Unexpected real parts in Majorana basis"
+        real = np.eye(2 * n) * (offset or 0) / 2
+        assert_allclose(C.real, real, **tol, err_msg=err)
+        C = real + 1j * C.imag
+    elif basis == "C":
+        err = f"{name.capitalize()} is not Nambu symmetric"
+        assert_allclose(
+            C[::2, ::2], (offset or 0) * np.eye(n) - C[1::2, 1::2].conj(), **tol, err_msg=err
+        )
+        assert_allclose(C[1::2, ::2], -C[::2, 1::2].conj(), **tol, err_msg=err)
+        if np.allclose(C.imag, 0, **tol):
+            C = C.real
+    elif basis is not None:
+        raise ValueError("Invalid `basis` " + repr(basis))
+    return C
+
+
+assert_nambu_hamiltonian = partial(assert_nambu, offset=0, name="Hamiltonian")
+assert_nambu_correlation = partial(assert_nambu, offset=1, name="correlation matrix")
+
+
+def correlation_matrix(H, basis: str | None = None, *, rtol: float = 0, atol: float = 1e-10):
+    r"""Ground-state Nambu correlation matrix of a BdG Hamiltonian
+    (reference pfaffian.py:302-393).
+
+    ``basis`` is "X->Y" with X, Y in {M, C} selecting input/output bases.
+    """
+    basis_error = f"Invalid basis spec {basis!r}, should be of form '[MC]->[MC]'"
+    assert basis in [None, "M->M", "M->C", "C->M", "C->C"], basis_error
+    tol = dict(rtol=rtol, atol=atol)
+
+    H = assert_nambu_hamiltonian(np.asarray(H), None if basis is None else basis[0], **tol)
+    n = len(H) // 2
+
+    e, v = jnp.linalg.eigh(jnp.asarray(H))
+    e_host = np.asarray(e)
+    assert_allclose(e_host + e_host[::-1], 0, **tol)
+    if np.any(abs(e_host) < atol):
+        raise RuntimeError(
+            "Some energy eigenvalues are zero. You need to construct\n"
+            "your own correlation matrix!\n"
+            f"Middle 10 eigenvalues:\n{e_host[n - 5 : n + 5, None]}"
+        )
+    assert_array_less(e_host[:n], 0, "Lower half of eigenvalues is not all negative")
+    v = v[:, :n]
+
+    if basis == "C->M":
+        v = vector_C2M(v)
+    elif basis == "M->C":
+        v = vector_M2C(v)
+    C = np.asarray(v @ HT(v))
+    C = assert_nambu_correlation(C, None if basis is None else basis[3], **tol)
+    return C
+
+
+def parity(V, *, tol: float = 1e-12) -> int:
+    r"""Fermion parity of a Bogoliubov vacuum via Bloch-Messiah: the parity
+    of the number of unit singular values of the pairing block V
+    (reference pfaffian.py:396-456)."""
+    V = np.asarray(V)
+    if len(V) == 0:
+        return 0
+    if len(V) == 1:
+        val = V.item()
+        if np.isclose(val, 0.0, rtol=0, atol=tol):
+            return 0
+        if np.isclose(abs(val), 1.0, rtol=0, atol=tol):
+            return 1
+        raise RuntimeError("Invalid 1x1 V")
+    s = np.asarray(jnp.linalg.svd(jnp.asarray(V), compute_uv=False))
+    if np.all(s < tol):
+        return 0  # no pairing at all: the vacuum is the bare vacuum (even)
+    if len(V) > 2:
+        # SVs strictly between 0 and 1 come in pairs; the ones above the
+        # largest gap share the parity of the exact 1s
+        n = int(np.argmax(-np.diff(s)))
+        return (n + 1) % 2
+    if np.allclose(s, [1.0, 0.0], rtol=0, atol=tol):
+        return 1
+    if np.isclose(s[0], s[1], rtol=0, atol=tol):
+        return 0
+    raise ValueError("Invalid 2x2 V")
+
+
+#### SCHMIDT MODES ####
+#### ------------- ####
+
+
+@dataclass(frozen=True)
+class SchmidtModes:
+    """Bogoliubov excitations generating the Schmidt vectors of a Nambu
+    mean-field state (reference pfaffian.py:461-979).
+
+    ``vL``/``vR`` are (2n, 2n) device arrays in the complex-fermion basis
+    with the column layout documented in the reference (entangled modes at
+    the end/start of the first half; second half = Nambu conjugates)."""
+
+    nL: int
+    nR: int
+    e: np.ndarray  # entangled eigenvalues in (0, 1/2], ascending
+    vL: object | None
+    vR: object | None
+    pL: int | None
+    pR: int | None
+
+    def __post_init__(self):
+        if self.vL is not None:
+            assert self.pL is not None, "`pL` must be specified with `vL`"
+        if self.vR is not None:
+            assert self.pR is not None, "`pR` must be specified with `vR`"
+        assert (self.vL is not None) or (self.vR is not None)
+
+    def parity(self, which: str = "T") -> int | None:
+        w = which[0].upper()
+        if w == "L":
+            return self.pL
+        if w == "R":
+            return self.pR
+        if w == "T":
+            if (self.pL is None) or (self.pR is None):
+                return None
+            return (self.pL + self.pR) % 2
+        raise ValueError("`which` must start with L, R, or T, got " + repr(which))
+
+    @property
+    def n_entangled(self) -> int:
+        return self.e.size
+
+    def size(self, which: str = "T") -> int:
+        w = which[0].upper()
+        if w == "L":
+            return self.nL
+        if w == "R":
+            return self.nR
+        if w == "T":
+            return self.nL + self.nR
+        raise ValueError("`which` must start with L, R, or T, got " + repr(which))
+
+    @property
+    def vL_entangled(self):
+        if self.vL is None:
+            return None
+        k = self.n_entangled
+        ix = np.arange(self.nL - k, self.nL)
+        ix = np.concatenate((ix, ix + self.nL))
+        return self.vL[:, ix]
+
+    @property
+    def vR_entangled(self):
+        if self.vR is None:
+            return None
+        k = self.n_entangled
+        ix = np.arange(k)
+        ix = np.concatenate((ix, ix + self.nR))
+        return self.vR[:, ix]
+
+    def mode_vectors(self, which: str, entangled: bool = False):
+        w = which[0].upper()
+        if w == "L":
+            return self.vL_entangled if entangled else self.vL
+        if w == "R":
+            return self.vR_entangled if entangled else self.vR
+        raise ValueError("`which` must start with L or R, got " + which)
+
+    def eigenvalues(self, which: str, entangled: bool = False):
+        w = which[0].upper()
+        if w == "L":
+            if self.vL is None:
+                return None
+            e = self.e
+            if not entangled:
+                e = np.concatenate((np.zeros(self.nL - self.n_entangled), e))
+        elif w == "R":
+            if self.vR is None:
+                return None
+            e = self.e[::-1]
+            if not entangled:
+                e = np.concatenate((e, np.zeros(self.nR - self.n_entangled)))
+        else:
+            raise ValueError("`which` must start with L or R, got " + repr(which))
+        return np.concatenate((e, 1 - e))
+
+    @property
+    def singular_values(self):
+        if (self.vL is None) or (self.vR is None):
+            return None
+        SV = (self.e * (1 - self.e)) ** 0.5
+        SV = SV * (-1 if self.pL == 1 else 1)  # anticommutation sign
+        return np.concatenate((SV, -SV))  # Nambu sign
+
+    @property
+    def e_ratio(self) -> np.ndarray:
+        return np.log((1 - self.e) / self.e)
+
+    def embed_subsets(self, sets: np.ndarray):
+        left_sets = sets if self.vL is not None else None
+        right_sets = sets[:, ::-1] if self.vR is not None else None
+        return left_sets, right_sets
+
+    def schmidt_values(self, sets: np.ndarray) -> np.ndarray:
+        return np.where(sets, self.e, 1 - self.e).prod(axis=1) ** 0.5
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_eigh_majorana(
+        cls: Type["SchmidtModes"],
+        C_M,
+        x: int,
+        trunc_par,
+        *,
+        eL=None,
+        vL_raw=None,
+        eR=None,
+        vR_raw=None,
+        diag_tol: float = _DIAG_TOL,
+        total_parity: int | None = None,
+    ) -> "SchmidtModes":
+        """Builds SchmidtModes from precomputed Majorana-block
+        eigendecompositions (ascending order, as from eigh_blocks);
+        implements the pairing, lambda=1/2 and Nambu machinery of reference
+        pfaffian.py:685-920."""
+        trunc_par = to_stopping_condition(trunc_par)
+        cutoff = trunc_par.svd_min**2
+        deg_tol = trunc_par.degeneracy_tol
+
+        C_M = jnp.asarray(C_M)
+        L = C_M.shape[0] // 2
+        y = L - x
+
+        def analyse(e_host, n):
+            """Classify ascending Majorana-block spectrum: clip, symmetry
+            check, locate 1/2 modes (kh) and entangled modes (ke)."""
+            if n == 0:
+                return np.zeros(0), 0, 0
+            err = "Invalid correlation matrix eigenvalues (should be in [0,1])"
+            assert_array_less(-deg_tol, e_host, err_msg=err)
+            assert_array_less(e_host, 1 + deg_tol, err_msg=err)
+            e_host = np.clip(e_host, 0.0, 1.0)
+            err = "Eigenvalues break Nambu symmetry"
+            assert_allclose(e_host, 1 - e_host[::-1], rtol=0, atol=deg_tol, err_msg=err)
+            x0, x1 = np.searchsorted(e_host, [0.5 - deg_tol, 0.5 + deg_tol])
+            kh = x1 - n
+            assert x0 == n - kh, "1/2 eigenvalues asymmetrical in spectrum"
+            x0, x1 = np.searchsorted(e_host, [cutoff, 1 - cutoff])
+            ke = x1 - n
+            assert x0 == n - ke, "Entangled modes asymmetrical in spectrum"
+            return e_host, ke, kh
+
+        def realify_half_modes(v, e_host, n, kh):
+            """Rotate the 2*kh eigenvectors at lambda=1/2 to a real basis
+            (they are defined only up to U(2kh); C real-imag SVD realifies,
+            reference pfaffian.py:802-816)."""
+            if kh == 0 or not jnp.iscomplexobj(v):
+                return v
+            sl = jnp.asarray(np.arange(n - kh, n + kh))
+            block = v[:, sl]
+            w = jnp.concatenate([block.real, block.imag], axis=1)
+            w, s, _ = jnp.linalg.svd(w, full_matrices=False)
+            s_host = np.asarray(s)
+            s_exp = np.concatenate([np.ones(2 * kh), np.zeros(s_host.size - 2 * kh)])
+            err = "1/2 eigenvectors cannot be made real"
+            assert_allclose(s_host, s_exp, rtol=0, atol=diag_tol, err_msg=err)
+            return v.at[:, sl].set(w[:, : 2 * kh].astype(v.dtype))
+
+        eL_a = keL = khL = eR_a = keR = khR = None
+        vL = vR = None
+        if eL is not None:
+            eL_a, keL, khL = analyse(np.asarray(eL), x)
+            vL = jnp.asarray(vL_raw, complex)
+            vL = realify_half_modes(vL, eL_a, x, khL)
+        if eR is not None:
+            eR_a, keR, khR = analyse(np.asarray(eR), y)
+            vR = jnp.asarray(vR_raw, complex)
+            vR = realify_half_modes(vR, eR_a, y, khR)
+
+        if eL_a is None and eR_a is None:
+            raise ValueError("need at least one of the L/R eigendecompositions")
+
+        if (eL_a is not None) and (eR_a is not None):
+            assert keL == keR, "Unequal number of entangled modes"
+            assert khL == khR, "Unequal number of 1/2 modes"
+            k, kh = keL, khL
+            e = eL_a[x - k : x]
+            err = "Eigenvalues of C_LL and C_RR do not match"
+            assert_allclose(e, eR_a[y - k : y], rtol=0, atol=deg_tol, err_msg=err)
+
+            CLR = C_M[: 2 * x, 2 * x :]
+            # SVD-pair the 0 < lambda < 1/2 modes
+            if k > kh:
+                slL = np.arange(x - k, x - kh)
+                slR = np.arange(y + kh, y + k)[::-1]
+                vLE, vRE = block_svd(
+                    CLR, vL[:, jnp.asarray(slL)], vR[:, jnp.asarray(slR)],
+                    eL_a[x - k : x - kh], deg_tol,
+                )
+                vL = vL.at[:, jnp.asarray(slL)].set(vLE)
+                vR = vR.at[:, jnp.asarray(slR)].set(vRE)
+            # SVD-pair the lambda=1/2 modes via the imaginary part of C_LR
+            if kh > 0:
+                ixL = jnp.asarray(np.arange(x - kh, x + kh))
+                ixR = jnp.asarray(np.arange(y - kh, y + kh))
+                s_block = (
+                    vL[:, ixL].real.T @ CLR.imag @ vR[:, ixR].real
+                )
+                U, _, Vh = jnp.linalg.svd(s_block)
+                vL = vL.at[:, ixL].set(vL[:, ixL] @ U.astype(vL.dtype))
+                vR = vR.at[:, ixR].set(vR[:, ixR] @ Vh.T.astype(vR.dtype))
+        elif eL_a is not None:
+            k, kh = keL, khL
+            e = eL_a[x - k : x]
+        else:
+            k, kh = keR, khR
+            e = eR_a[y - k : y]
+
+        # fixed-seed quasirandom orthogonal shuffle of the 1/2 modes: breaks
+        # the exact degeneracy in a reproducible way (reference
+        # pfaffian.py:867-874, cf. CHANGELOG 0.3 bugfix #26)
+        if kh > 0:
+            O = jnp.asarray(ortho_group.rvs(2 * kh, random_state=1234))
+            if vL is not None:
+                ixL = jnp.asarray(np.arange(x - kh, x + kh))
+                vL = vL.at[:, ixL].set(vL[:, ixL] @ O.astype(vL.dtype))
+            if vR is not None:
+                ixR = jnp.asarray(np.arange(y - kh, y + kh))
+                vR = vR.at[:, ixR].set(vR[:, ixR] @ O.astype(vR.dtype))
+
+        logger.info("2 * %d entangled Schmidt modes found", k)
+        logger.debug("2 * %d Schmidt modes with eigenvalue 1/2", kh)
+
+        def nambu(v, n, kh, LR):
+            """Restore conjugate-pair structure, convert to complex-fermion
+            basis, compute the vacuum parity (reference pfaffian.py:879-897)."""
+            if LR == "L":
+                if kh > 0:
+                    a = jnp.asarray(np.arange(n - kh, n))
+                    b = jnp.asarray(np.arange(n, n + kh))
+                    v = v.at[:, a].set((v[:, a] + 1j * v[:, b]) / 2**0.5)
+                v = v.at[:, n:].set(v[:, :n].conj())
+            else:
+                if kh > 0:
+                    a = jnp.asarray(np.arange(n - kh, n))
+                    b = jnp.asarray(np.arange(n, n + kh))
+                    v = v.at[:, b].set(((-1j * v[:, a] + v[:, b]) / 2**0.5)[:, ::-1])
+                v = v.at[:, :n].set(v[:, n:].conj())
+            v = vector_M2C(v)
+            p = parity(np.asarray(v[1::2, :n]))
+            return v, p
+
+        pL = pR = None
+        if vL is not None:
+            vL, pL = nambu(vL, x, kh, "L")
+            logger.info("Parity of left Bogoliubov vacuum: %s", pL)
+            if vR is None and total_parity is not None:
+                pR = (total_parity + pL) % 2
+        if vR is not None:
+            vR, pR = nambu(vR, y, kh, "R")
+            logger.info("Parity of right Bogoliubov vacuum: %s", pR)
+            if vL is None and total_parity is not None:
+                pL = (total_parity + pR) % 2
+
+        # commuting the right vectors through an odd left vacuum flips signs
+        if (vL is not None) and (vR is not None) and (pL == 1):
+            vR = -vR
+
+        modes = cls(e=np.asarray(e, float), vL=vL, vR=vR, pL=pL, pR=pR, nL=x, nR=y)
+        if (vL is not None) and (vR is not None):
+            check_schmidt_decomposition(modes, np.asarray(matrix_M2C(C_M)), diag_tol)
+        return modes
+
+    @classmethod
+    def from_correlation_matrix(
+        cls: Type["SchmidtModes"],
+        C,
+        x: int,
+        trunc_par,
+        *,
+        basis: str,
+        which: str = "LR",
+        diag_tol: float = _DIAG_TOL,
+        total_parity: int | None = None,
+    ) -> "SchmidtModes":
+        """Single-cut convenience wrapper (reference pfaffian.py:685-920)."""
+        trunc_par = to_stopping_condition(trunc_par)
+        if basis == "C":
+            C = matrix_C2M(C)
+        elif basis != "M":
+            raise ValueError(f"Argument `basis` must be 'M' or 'C', got {basis!r}")
+        C = jnp.asarray(
+            assert_nambu_correlation(np.asarray(C), "M", atol=trunc_par.svd_min**2)
+        )
+        L = C.shape[0] // 2
+        assert 0 <= x <= L, f"Invalid entanglement cut {x}, must be between 0 and {L}"
+
+        which = which.upper()
+        err = "`which` must specify at least one of (L)eft or (R)ight"
+        assert ("L" in which) or ("R" in which), err
+
+        eL = vL_raw = eR = vR_raw = None
+        if "L" in which:
+            e_all, v_all = eigh_blocks(C, [2 * x], "L")
+            eL = np.asarray(e_all[0, : 2 * x])
+            vL_raw = v_all[0, : 2 * x, : 2 * x]
+        if "R" in which:
+            e_all, v_all = eigh_blocks(C, [2 * (L - x)], "R")
+            eR = np.asarray(e_all[0, : 2 * (L - x)])
+            vR_raw = v_all[0, 2 * x :, : 2 * (L - x)]
+        return cls.from_eigh_majorana(
+            C,
+            x,
+            trunc_par,
+            eL=eL,
+            vL_raw=vL_raw,
+            eR=eR,
+            vR_raw=vR_raw,
+            diag_tol=diag_tol,
+            total_parity=total_parity,
+        )
+
+
+#### SCHMIDT VECTORS ####
+#### --------------- ####
+
+
+def _parity_n_argsort(x: np.ndarray):
+    """Stable sort by (parity, value); returns (order, value->slice map,
+    parity->slice map) (reference pfaffian.py:986-997)."""
+    x = x.ravel()
+    idx = np.lexsort((np.arange(len(x)), x, x % 2))
+    xs = x[idx]
+    return idx, _bunched_slices(xs), _bunched_slices(xs % 2)
+
+
+def _bunched_slices(x: np.ndarray) -> dict[int, slice]:
+    """Maps each value of a sorted int array to its slice
+    (reference pfaffian.py:1000-1005)."""
+    (jumps,) = np.nonzero(x[1:] != x[:-1])
+    bounds = np.concatenate(([0], jumps + 1, [len(x)]))
+    return {
+        int(x[bounds[i]]): slice(int(bounds[i]), int(bounds[i + 1]))
+        for i in range(len(bounds) - 1)
+    }
+
+
+@dataclass(frozen=True)
+class SchmidtVectors:
+    """Schmidt vectors of a Nambu mean-field state: subsets of Bogoliubov
+    excitations over the vacua, collated by parity and excitation number
+    (reference pfaffian.py:1008-1248)."""
+
+    modes: SchmidtModes
+    left_sets: np.ndarray | None
+    right_sets: np.ndarray | None
+    schmidt_values: np.ndarray
+    idx_n: dict[int, slice]
+    idx_parity: dict[int, slice]
+
+    @property
+    def n_schmidt(self) -> int:
+        return self.schmidt_values.size
+
+    @property
+    def n_entangled(self) -> int:
+        return self.modes.n_entangled
+
+    @property
+    def nL(self) -> int:
+        return self.modes.nL
+
+    @property
+    def nR(self) -> int:
+        return self.modes.nR
+
+    def size(self, which: str = "T") -> int:
+        return self.modes.size(which)
+
+    @property
+    def vL(self):
+        return self.modes.vL
+
+    @property
+    def vR(self):
+        return self.modes.vR
+
+    def mode_vectors(self, which: str, entangled: bool = False):
+        return self.modes.mode_vectors(which, entangled)
+
+    @property
+    def pL(self):
+        return self.modes.pL
+
+    @property
+    def pR(self):
+        return self.modes.pR
+
+    def parity(self, which: str = "T"):
+        return self.modes.parity(which)
+
+    def sets(self, which: str):
+        w = which[0].upper()
+        if w == "L":
+            return self.left_sets
+        if w == "R":
+            return self.right_sets
+        raise ValueError("`which` must start with L or R, got " + repr(which))
+
+    def q_parity(self, p_ref: int) -> np.ndarray:
+        """Per-Schmidt-vector Z2 label: excitation parity offset by the
+        reference vacuum parity (cf. reference _make_legcharge,
+        pfaffian.py:1485-1489)."""
+        exc = (self.left_sets if self.left_sets is not None else self.right_sets).sum(1)
+        return (exc + p_ref) % 2
+
+    @classmethod
+    def from_schmidt_modes(
+        cls: Type["SchmidtVectors"], modes: SchmidtModes, trunc_par
+    ) -> "SchmidtVectors":
+        trunc_par = to_stopping_condition(trunc_par)
+        _, sets = lowest_sums(modes.e_ratio / 2, trunc_par)
+        if len(sets) == 0:
+            raise ValueError(
+                "No Schmidt vectors left after filtering by `trunc_par.sectors`!"
+            )
+        exc = sets.sum(axis=1)
+        idx, idx_n, idx_parity = _parity_n_argsort(exc)
+        sets = sets[idx]
+        left_sets, right_sets = modes.embed_subsets(sets)
+        lam = modes.schmidt_values(sets)
+        logger.info("%d Schmidt vectors generated", len(lam))
+        if len(lam):
+            logger.info("Dynamical range: %.3e", lam.max() / lam.min())
+        return cls(
+            modes=modes,
+            left_sets=left_sets,
+            right_sets=right_sets,
+            schmidt_values=lam,
+            idx_n=idx_n,
+            idx_parity=idx_parity,
+        )
+
+    @classmethod
+    def from_correlation_matrix(
+        cls: Type["SchmidtVectors"],
+        C,
+        x: int,
+        trunc_par,
+        *,
+        basis: str,
+        which: str = "LR",
+        diag_tol: float = _DIAG_TOL,
+        total_parity: int | None = None,
+    ) -> "SchmidtVectors":
+        trunc_par = to_stopping_condition(trunc_par)
+        modes = SchmidtModes.from_correlation_matrix(
+            C,
+            x,
+            trunc_par,
+            basis=basis,
+            which=which.upper(),
+            diag_tol=diag_tol,
+            total_parity=total_parity,
+        )
+        return cls.from_schmidt_modes(modes, trunc_par)
+
+
+#### PFAFFIAN OVERLAPS AND MPS TENSORS ####
+#### --------------------------------- ####
+
+
+def _pfaffian_matrix(V1, V2, sets1, sets2, *, mode, tolerance=1e-8, min_SV=1e-6):
+    """Precomputes the antisymmetric matrix N whose principal-submatrix
+    Pfaffians are the Bogoliubov-excitation overlaps, plus the normalised
+    vacuum overlap (Onishi formula); reference pfaffian.py:1258-1410.
+
+    Returns (norm, N, new_sets1, new_sets2, split)."""
+    V1 = jnp.asarray(V1)
+    V2 = jnp.asarray(V2)
+    n, m = V1.shape
+    assert n == m > 0 and n % 2 == 0
+    L = n // 2
+    assert V2.shape == (n, m)
+
+    Vr = HT(V1) @ V2  # V1 is unitary
+
+    nambu_err = "Nambu symmetry violated"
+    Vr_host = np.asarray(Vr)
+    assert_allclose(
+        Vr_host[:L, :L].conj(), Vr_host[L:, L:], rtol=0, atol=tolerance, err_msg=nambu_err
+    )
+    assert_allclose(
+        Vr_host[:L, L:].conj(), Vr_host[L:, :L], rtol=0, atol=tolerance, err_msg=nambu_err
+    )
+
+    s = np.asarray(jnp.linalg.svd(Vr[:L, :L], compute_uv=False))
+    logger.info("Bogoliubov vacuum overlap: %.3e", s.prod())
+    assert_array_less(
+        min_SV, s, err_msg="Bogoliubov vacua do not overlap (U nearly singular)"
+    )
+    norm = s.prod() ** 0.5
+
+    def prune(sets, reverse):
+        keep = np.any(sets, axis=0)
+        (idx,) = np.nonzero(keep)
+        if reverse:
+            idx = idx[::-1]
+        return sets[:, idx], idx
+
+    active1 = sets1.shape[1]
+    active2 = sets2.shape[1]
+    sets1, idx1 = prune(sets1, False)  # a modes (bra annihilators)
+    sets2, idx2 = prune(sets2, True)  # b-dagger modes (ket creators)
+
+    if mode == "left":  # active modes at the end of the half-basis
+        idx1 = idx1 + (L - active1)
+        idx2 = idx2 + (L - active2)
+    elif mode != "right":
+        raise ValueError('`mode` must be "left" or "right"')
+
+    Uxinv = jnp.linalg.inv(Vr[L:, L:])
+    j1 = jnp.asarray(idx1, dtype=jnp.int32)
+    j2 = jnp.asarray(idx2, dtype=jnp.int32)
+
+    AA = Vr[j1, L:] @ Uxinv[:, j1]  # M = V* inv(U*)
+    BA = Uxinv[j2[:, None], j1[None, :]]
+    BB = Uxinv[j2, :] @ Vr[L:, j2]
+
+    AA_host = np.asarray(AA)
+    BB_host = np.asarray(BB)
+    assert_allclose(AA_host, -AA_host.T, rtol=0, atol=tolerance, err_msg=nambu_err)
+    assert_allclose(BB_host, -BB_host.T, rtol=0, atol=tolerance, err_msg=nambu_err)
+    AA = (AA - AA.T) / 2
+    BB = (BB - BB.T) / 2
+
+    N = jnp.block([[BB, BA], [-BA.T, AA]])
+
+    split = sets2.shape[1]
+    new_sets1 = np.concatenate(
+        (np.zeros((sets1.shape[0], split), dtype=bool), sets1), axis=1
+    )
+    new_sets2 = np.concatenate(
+        (sets2, np.zeros((sets2.shape[0], sets1.shape[1]), dtype=bool)), axis=1
+    )
+    return norm, N, new_sets1, new_sets2, split
+
+
+@dataclass(frozen=True)
+class MPSTensorData:
+    """Implicit description of one MPS tensor of a Pfaffian state
+    (reference pfaffian.py:1492-1778); the tensor fill evaluates all
+    parity-allowed (bra, ket) pairs as one symplectically-padded Pfaffian
+    batch."""
+
+    mode: str
+    physical_leg: bool
+    norm: float
+    pfaffian_matrix: object  # jnp (w, w) antisymmetric
+    sets_bra: np.ndarray  # (rows, w) bool incl. leading ket zeros
+    sets_ket: np.ndarray  # (cols, w) bool incl. trailing bra zeros
+    bra_beta: np.ndarray
+    bra_phys: np.ndarray | None
+    q_bra: np.ndarray  # Z2 labels per bra bond index
+    q_ket: np.ndarray
+    qtotal: int
+
+    @classmethod
+    def from_schmidt_vectors(
+        cls: Type["MPSTensorData"],
+        Schmidt_bra: SchmidtVectors,
+        Schmidt_ket: SchmidtVectors,
+        mode: str,
+        *,
+        nambu_tolerance: float = 1e-8,
+        min_SV: float = 1e-6,
+    ) -> "MPSTensorData":
+        mode = mode.lower()
+        if mode not in ("left", "right"):
+            raise ValueError("mode must be either 'left' or 'right', got " + repr(mode))
+
+        v_bra = Schmidt_bra.mode_vectors(mode)
+        assert v_bra is not None, f"`Schmidt_bra` contains no {mode} Schmidt vectors"
+        sets_bra = Schmidt_bra.sets(mode)
+        v_ket = Schmidt_ket.mode_vectors(mode)
+        assert v_ket is not None, f"`Schmidt_ket` contains no {mode} Schmidt vectors"
+
+        p_bra = Schmidt_bra.pL
+        p_ket = Schmidt_ket.pL
+        if (p_bra is None) or (p_ket is None):  # only for mode == "right"
+            warnings.warn(
+                "\nParity to the left is unknown.\n"
+                "Virtual legs will carry parity to the right!"
+            )
+            p_bra = Schmidt_bra.pR
+            p_ket = Schmidt_ket.pR
+            qtotal = 0
+        elif mode == "right":
+            qtotal = (Schmidt_bra.parity() + Schmidt_ket.parity()) % 2
+        else:
+            qtotal = 0
+        q_bra = Schmidt_bra.q_parity(p_bra)
+        q_ket = Schmidt_ket.q_parity(p_ket)
+
+        ns_bra = len(sets_bra)
+        bra_beta = np.arange(ns_bra)
+        bra_phys = None
+
+        if len(v_bra) + 2 == len(v_ket):
+            physical = True
+            n = len(v_bra) // 2
+            z_col = jnp.zeros((2 * n, 1), dtype=v_bra.dtype)
+            z_row = jnp.zeros((1, n), dtype=v_bra.dtype)
+            one = jnp.ones((1, 1), dtype=v_bra.dtype)
+            zero = jnp.zeros((1, 1), dtype=v_bra.dtype)
+            if mode == "left":
+                # bra vacuum parity odd -> sign flip on the physical mode
+                u_p = -1.0 if Schmidt_bra.parity(mode) % 2 == 1 else 1.0
+                up = u_p * one
+                v_bra = jnp.block(
+                    [
+                        [v_bra[:, :n], z_col, v_bra[:, n:], z_col],
+                        [z_row, up, z_row, zero],
+                        [z_row, zero, z_row, up],
+                    ]
+                )
+                sets_bra = np.block(
+                    [
+                        [sets_bra, np.zeros((ns_bra, 1), bool)],
+                        [sets_bra, np.ones((ns_bra, 1), bool)],
+                    ]
+                )
+            else:
+                v_bra = jnp.block(
+                    [
+                        [one, z_row, zero, z_row],
+                        [zero, z_row, one, z_row],
+                        [z_col, v_bra[:, :n], z_col, v_bra[:, n:]],
+                    ]
+                )
+                sets_bra = np.block(
+                    [
+                        [np.zeros((ns_bra, 1), bool), sets_bra],
+                        [np.ones((ns_bra, 1), bool), sets_bra],
+                    ]
+                )
+            bra_beta = np.concatenate([np.arange(ns_bra), np.arange(ns_bra)])
+            bra_phys = np.concatenate([np.zeros(ns_bra, int), np.ones(ns_bra, int)])
+        elif len(v_bra) == len(v_ket):
+            physical = False
+            if Schmidt_bra.parity(mode) % 2 != Schmidt_ket.parity(mode) % 2:
+                sets_bra = sets_bra.copy()
+        else:
+            raise ValueError(
+                f"{mode.capitalize()} sides `Schmidt_bra` and `Schmidt_ket` must "
+                f"match or `Schmidt_bra` must be one bond to the {mode} of "
+                f"`Schmidt_ket`, got lengths {len(v_bra) // 2} and {len(v_ket) // 2}."
+            )
+
+        # vacua must share parity: if not, particle-hole flip the most
+        # entangled bra mode (reference pfaffian.py:1707-1719)
+        if Schmidt_bra.parity(mode) % 2 != Schmidt_ket.parity(mode) % 2:
+            n = len(v_bra) // 2
+            if mode == "left":
+                perm = np.arange(2 * n)
+                perm[[n - 1, 2 * n - 1]] = perm[[2 * n - 1, n - 1]]
+                v_bra = v_bra[:, jnp.asarray(perm)]
+                sets_bra = sets_bra.copy()
+                sets_bra[:, -1] = ~sets_bra[:, -1]
+            else:
+                # flip the sign of all other Bogoliubov operators and swap
+                # the most-entangled mode's gamma <-> gamma^dagger: net effect
+                # col0 <- old col n, col n <- old col 0, all others negated
+                c0 = v_bra[:, n]
+                cn = v_bra[:, 0]
+                v_bra = -v_bra
+                v_bra = v_bra.at[:, 0].set(c0).at[:, n].set(cn)
+                sets_bra = sets_bra.copy()
+                sets_bra[:, 0] = ~sets_bra[:, 0]
+
+        norm, N, new_sets_bra, new_sets_ket, _split = _pfaffian_matrix(
+            v_bra,
+            v_ket,
+            sets_bra,
+            Schmidt_ket.sets(mode),
+            mode=mode,
+            tolerance=nambu_tolerance,
+            min_SV=min_SV,
+        )
+
+        return cls(
+            mode=mode,
+            physical_leg=physical,
+            norm=float(norm),
+            pfaffian_matrix=N,
+            sets_bra=new_sets_bra,
+            sets_ket=new_sets_ket,
+            bra_beta=bra_beta,
+            bra_phys=bra_phys,
+            q_bra=q_bra,
+            q_ket=q_ket,
+            qtotal=int(qtotal),
+        )
+
+    def _pair_values(self, pf_chunk: int | None):
+        """norm * Pf(N[ix, ix]) for all parity-matching (bra, ket) pairs,
+        with ix = [ket excitations, bra excitations, J-padding]."""
+        cnt_bra = self.sets_bra.sum(axis=1)
+        cnt_ket = self.sets_ket.sum(axis=1)
+        m = self.pfaffian_matrix.shape[0]
+
+        width = int((cnt_bra.max(initial=0) + cnt_ket.max(initial=0)))
+        width = max(4, -(-width // 4) * 4)  # bucketed, even
+
+        # positions of excitations (within N's index space) per row
+        def positions(sets, w):
+            ns, mm = sets.shape
+            order = np.argsort(~sets, axis=1, kind="stable")
+            return order, sets.sum(axis=1)
+
+        pos_bra, _ = positions(self.sets_bra, width)
+        pos_ket, _ = positions(self.sets_ket, width)
+
+        # parity-matching pairs
+        par_bra = cnt_bra % 2
+        par_ket = cnt_ket % 2
+        pair_r, pair_c = [], []
+        for p in (0, 1):
+            rows = np.nonzero(par_bra == p)[0]
+            cols = np.nonzero(par_ket == p)[0]
+            if rows.size and cols.size:
+                pair_r.append(np.repeat(rows, cols.size))
+                pair_c.append(np.tile(cols, rows.size))
+        if not pair_r:
+            return np.zeros(0, int), np.zeros(0, int), None
+        rows = np.concatenate(pair_r)
+        cols = np.concatenate(pair_c)
+        P = len(rows)
+
+        # combined index rows: ket positions, then bra positions, then pads
+        nk = cnt_ket[cols]
+        nb = cnt_bra[rows]
+        total = nk + nb
+        idx = np.empty((P, width), dtype=np.int32)
+        slot = np.arange(width)[None, :]
+        # fill pads first (contiguous tail of consecutive sentinels from m)
+        idx[:] = m + (slot - total[:, None])
+        # overwrite slots [0, nk) with ket positions, [nk, nk+nb) with bra
+        take_k = slot < nk[:, None]
+        kslot = np.minimum(slot, pos_ket.shape[1] - 1)
+        ket_vals = np.take_along_axis(pos_ket[cols], kslot, axis=1)
+        idx = np.where(take_k, ket_vals, idx)
+        bslot = np.minimum(slot - nk[:, None], pos_bra.shape[1] - 1)
+        bslot = np.clip(bslot, 0, None)
+        bra_vals = np.take_along_axis(pos_bra[rows], bslot, axis=1)
+        take_b = (slot >= nk[:, None]) & (slot < total[:, None])
+        idx = np.where(take_b, bra_vals, idx)
+
+        # bucket the batch axis; dummy rows are all-pad (Pf = 1, discarded)
+        P_b = max(256, 1 << int(np.ceil(np.log2(P))))
+        if P_b > P:
+            pad_row = m + np.arange(width, dtype=np.int32)
+            idx = np.concatenate([idx, np.broadcast_to(pad_row, (P_b - P, width))])
+
+        vals = batched_pfaffian_pairs(
+            self.pfaffian_matrix, idx, pad_slots=width, chunk=pf_chunk
+        )[:P]
+        vals = vals * self.norm
+        return rows, cols, vals
+
+    def to_dense_tensor(self, pf_chunk: int | None = 16384):
+        """The MPS tensor as a dense (chiL, d, chiR) device array with Z2
+        bond labels (replaces reference ``to_npc_array``,
+        pfaffian.py:1750-1778)."""
+        rows, cols, vals = self._pair_values(pf_chunk)
+        nb = len(self.q_bra)
+        nk = len(self.q_ket)
+        dtype = self.pfaffian_matrix.dtype
+        if not self.physical_leg:
+            M = jnp.zeros((nb, nk), dtype=dtype)
+            if vals is not None:
+                M = M.at[jnp.asarray(self.bra_beta[rows]), jnp.asarray(cols)].set(vals)
+            return M, self.q_bra, self.q_ket, self.qtotal
+        d = 2
+        if self.mode == "left":
+            T = jnp.zeros((nb, d, nk), dtype=dtype)
+            if vals is not None:
+                T = T.at[
+                    jnp.asarray(self.bra_beta[rows]),
+                    jnp.asarray(self.bra_phys[rows]),
+                    jnp.asarray(cols),
+                ].set(vals)
+            return T, self.q_bra, self.q_ket, self.qtotal
+        T = jnp.zeros((nk, d, nb), dtype=dtype)
+        if vals is not None:
+            T = T.at[
+                jnp.asarray(cols),
+                jnp.asarray(self.bra_phys[rows]),
+                jnp.asarray(self.bra_beta[rows]),
+            ].set(vals)
+        return T, self.q_ket, self.q_bra, self.qtotal
+
+
+#### HIGH-LEVEL DRIVERS ####
+#### ------------------ ####
+
+
+def C_to_MPS(
+    C,
+    trunc_par,
+    *,
+    basis: str,
+    diag_tol: float = _DIAG_TOL,
+    ortho_center: int | None = None,
+    unit_cell_width: int | None = None,
+    eigh_chunk: int = 32,
+) -> MPS:
+    r"""MPS representation of a Nambu mean-field ground state from its
+    correlation matrix (reference pfaffian.py:1785-1921)."""
+    trunc_par = to_stopping_condition(trunc_par)
+
+    if basis == "C":
+        C = matrix_C2M(C)
+    elif basis != "M":
+        raise ValueError(f"Argument `basis` must be 'M' or 'C', got {basis!r}")
+    C = jnp.asarray(
+        assert_nambu_correlation(np.asarray(C), "M", atol=trunc_par.svd_min**2)
+    )
+    L = C.shape[0] // 2
+
+    if unit_cell_width is None:
+        unit_cell_width = L
+    elif L % unit_cell_width != 0:
+        raise ValueError(f"{unit_cell_width = } does not divide system size {L}")
+
+    tensors = [None] * L
+    lams = [None] * (L + 1)
+    q_bonds = [None] * (L + 1)
+
+    c = ortho_center or L // 2
+    logger.info("Central bond %d", c)
+    Schmidt_center = SchmidtVectors.from_correlation_matrix(
+        C, c, trunc_par, basis="M", diag_tol=diag_tol
+    )
+    lams[c] = normalize_SV(Schmidt_center.schmidt_values, logger)
+    q_bonds[c] = Schmidt_center.q_parity(Schmidt_center.pL)
+    total_parity = Schmidt_center.parity()
+
+    def modes_batched(cuts, which):
+        sizes = [2 * x if which == "L" else 2 * (L - x) for x in cuts]
+        e_all, v_all = eigh_blocks(C, sizes, which, chunk=eigh_chunk)
+        e_host = np.asarray(e_all)
+        out = []
+        for i, x in enumerate(cuts):
+            size = sizes[i]
+            kw = dict(diag_tol=diag_tol, total_parity=total_parity)
+            if which == "L":
+                modes = SchmidtModes.from_eigh_majorana(
+                    C, x, trunc_par, eL=e_host[i, :size],
+                    vL_raw=v_all[i, :size, :size], **kw,
+                )
+            else:
+                modes = SchmidtModes.from_eigh_majorana(
+                    C, x, trunc_par, eR=e_host[i, :size],
+                    vR_raw=v_all[i, 2 * x :, :size], **kw,
+                )
+            out.append(SchmidtVectors.from_schmidt_modes(modes, trunc_par))
+        return out
+
+    # ---- right half ----
+    right_sv = modes_batched(list(range(c + 1, L + 1)), "R")
+    Schmidt = Schmidt_center
+    for i, Schmidt_new in zip(range(c, L), right_sv):
+        logger.info("Site %d", i)
+        lams[i + 1] = normalize_SV(Schmidt_new.schmidt_values, logger)
+        q_bonds[i + 1] = Schmidt_new.q_parity(Schmidt_new.pL)
+        data = MPSTensorData.from_schmidt_vectors(Schmidt_new, Schmidt, "right")
+        T, _, _, qt = data.to_dense_tensor()
+        tensors[i] = (T, qt)
+        Schmidt = Schmidt_new
+
+    # ---- left half ----
+    left_sv = modes_batched(list(range(c - 1, -1, -1)), "L")
+    Schmidt = Schmidt_center
+    for i, Schmidt_new in zip(range(c - 1, -1, -1), left_sv):
+        logger.info("Site %d", i)
+        lams[i] = normalize_SV(Schmidt_new.schmidt_values, logger)
+        q_bonds[i] = Schmidt_new.q_parity(Schmidt_new.pL)
+        data = MPSTensorData.from_schmidt_vectors(Schmidt_new, Schmidt, "left")
+        T, _, _, qt = data.to_dense_tensor()
+        tensors[i] = (T, qt)
+        Schmidt = Schmidt_new
+
+    form = ["A"] * c + ["B"] * (L - c)
+    return MPS(
+        [fermion_site] * L,
+        [t for t, _ in tensors],
+        lams,
+        form=form,
+        bc="finite",
+        unit_cell_width=unit_cell_width,
+        q_bonds=q_bonds,
+        qtotals=[qt for _, qt in tensors],
+    )
+
+
+def H_to_MPS(
+    H,
+    trunc_par,
+    *,
+    basis: str,
+    diag_tol: float = _DIAG_TOL,
+    ortho_center: int | None = None,
+    unit_cell_width: int | None = None,
+) -> MPS:
+    r"""MPS of the ground state of a BdG single-particle Hamiltonian
+    (reference pfaffian.py:2094-2148)."""
+    C = correlation_matrix(H, basis=f"{basis}->{basis}")
+    return C_to_MPS(
+        C,
+        trunc_par,
+        basis=basis,
+        diag_tol=diag_tol,
+        ortho_center=ortho_center,
+        unit_cell_width=unit_cell_width,
+    )

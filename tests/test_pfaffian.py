@@ -1,0 +1,189 @@
+"""End-to-end tests of the Pfaffian/BdG -> MPS pipeline against exact
+diagonalization (cf. reference examples/pfaffian.py)."""
+
+import numpy as np
+import pytest
+
+import temfpy_tpu.testing as tst
+from temfpy_tpu import pfaffian
+from temfpy_tpu.utils import HT
+
+import oracles
+
+tst.TEST_ACTION = "raise"
+
+
+def majorana_random_H(L, seed=0, corr_range=3.0):
+    """Random local Majorana Hamiltonian i(M - M^T) (cf. reference
+    examples/pfaffian.py)."""
+    r = np.random.default_rng(seed)
+    x, y = np.meshgrid(np.arange(2 * L), np.arange(2 * L), indexing="ij")
+    scale = np.exp(-abs(x - y) / corr_range)
+    M = r.normal(size=(2 * L, 2 * L)) * scale
+    return 1j * (M - M.T)
+
+
+def kitaev_H_C(L, t=1.0, mu=0.5, Delta=0.8):
+    """Kitaev chain in the complex-fermion Nambu layout
+    (rows/cols interleave c^dag_i, c_i)."""
+    h = np.zeros((L, L))
+    D = np.zeros((L, L))
+    for i in range(L - 1):
+        h[i, i + 1] = h[i + 1, i] = -t
+        D[i, i + 1] = Delta
+        D[i + 1, i] = -Delta
+    h -= mu * np.eye(L)
+    # Nambu matrix: coefficient blocks of (c^dag c, c^dag c^dag; c c, c c^dag)
+    H = np.zeros((2 * L, 2 * L), dtype=complex)
+    H[::2, ::2] = h
+    H[1::2, 1::2] = -h.T
+    H[::2, 1::2] = D
+    H[1::2, ::2] = -D.conj()
+    return H, h, D
+
+
+def nambu_from_quadratic(h, D):
+    """Nambu single-particle matrix (complex-fermion layout, "C") for
+    H = sum h_ij c^dag_i c_j + 1/2 sum (D_ij c^dag_i c^dag_j + h.c.)."""
+    L = len(h)
+    H = np.zeros((2 * L, 2 * L), dtype=complex)
+    H[::2, ::2] = h / 2 + h.conj().T / 2
+    H[1::2, 1::2] = -(h / 2 + h.conj().T / 2).T
+    H[::2, 1::2] = D
+    H[1::2, ::2] = -D.conj()
+    return H / 1.0
+
+
+def test_basis_roundtrip():
+    r = np.random.default_rng(0)
+    v = r.normal(size=(8, 3)) + 1j * r.normal(size=(8, 3))
+    np.testing.assert_allclose(
+        np.asarray(pfaffian.vector_M2C(pfaffian.vector_C2M(v))), v, atol=1e-13
+    )
+    H = r.normal(size=(8, 8)) + 1j * r.normal(size=(8, 8))
+    np.testing.assert_allclose(
+        np.asarray(pfaffian.matrix_M2C(pfaffian.matrix_C2M(H))), H, atol=1e-13
+    )
+
+
+def test_assert_nambu_majorana():
+    L = 4
+    H = majorana_random_H(L, seed=1)
+    out = pfaffian.assert_nambu_hamiltonian(H, "M")
+    np.testing.assert_allclose(np.asarray(out), H, atol=1e-12)
+    with np.testing.assert_raises(AssertionError):
+        bad = H.copy()
+        bad[0, 0] = 0.5  # real diagonal not allowed for Hamiltonian
+        pfaffian.assert_nambu_hamiltonian(bad, "M")
+
+
+def test_correlation_matrix_bases():
+    L = 5
+    H = majorana_random_H(L, seed=2)
+    C_M = pfaffian.correlation_matrix(H, basis="M->M")
+    C_C = pfaffian.correlation_matrix(H, basis="M->C")
+    np.testing.assert_allclose(
+        np.asarray(pfaffian.matrix_C2M(C_C)), C_M, atol=1e-10
+    )
+    # Nambu structure of the complex-fermion C
+    pfaffian.assert_nambu_correlation(np.asarray(C_C), "C")
+
+
+def test_parity_function():
+    # trivial vacuum (V = 0) is even
+    assert pfaffian.parity(np.zeros((3, 3))) == 0
+    # fully paired 4x4 with two degenerate SVs in (0,1): even
+    r = np.random.default_rng(3)
+    # construct V with singular values (0.6, 0.6, 0.2, 0.2)
+    U, _ = np.linalg.qr(r.normal(size=(4, 4)))
+    W, _ = np.linalg.qr(r.normal(size=(4, 4)))
+    V = U @ np.diag([0.6, 0.6, 0.2, 0.2]) @ W
+    assert pfaffian.parity(V) == 0
+    V = U @ np.diag([1.0, 0.6, 0.6, 0.0]) @ W
+    assert pfaffian.parity(V) == 1
+
+
+def exact_bdg_ground_state(L, h, D):
+    """Dense ground state of the quadratic BdG Hamiltonian."""
+    Hmb = oracles.quadratic_hamiltonian(L, h, D)
+    return oracles.ground_state(Hmb)
+
+
+@pytest.mark.parametrize("mu", [0.5, 2.0])
+def test_kitaev_fidelity(mu):
+    """Kitaev chain: MPS from the Pfaffian pipeline vs exact ground state."""
+    L = 6
+    H, h, D = kitaev_H_C(L, mu=mu)
+    mps = pfaffian.H_to_MPS(H, {"chi_max": 64}, basis="C")
+    psi_mps = mps.to_statevector()
+    psi_exact = exact_bdg_ground_state(L, h, D)
+    f = oracles.fidelity(psi_exact, psi_mps)
+    assert f > 1 - 1e-9, f"fidelity {f}"
+    assert abs(mps.norm_squared() - 1) < 1e-9
+
+
+def test_majorana_random_fidelity():
+    """Random Majorana Hamiltonian: correlators from the MPS vs input C
+    (the reference example's check) and parity of the state."""
+    L = 6
+    H = majorana_random_H(L, seed=5)
+    mps = pfaffian.H_to_MPS(H, {"chi_max": 128}, basis="M")
+    C = pfaffian.correlation_matrix(H, basis="M->C")
+    C = np.asarray(C)
+
+    CdC = mps.correlation_function("Cd", "C").T
+    dev1 = np.abs(CdC - C[::2, ::2]).max()
+    CC = mps.correlation_function("C", "C").T
+    dev2 = np.abs(CC - C[::2, 1::2]).max()
+    assert dev1 < 1e-8, f"<c+c> deviation {dev1}"
+    assert dev2 < 1e-8, f"<cc> deviation {dev2}"
+
+
+def test_bond_parity_charges():
+    L = 6
+    H = majorana_random_H(L, seed=7)
+    mps = pfaffian.H_to_MPS(H, {"chi_max": 64}, basis="M")
+    for i in range(L):
+        T = np.asarray(mps._B[i])
+        qL = mps.q_bond[i][:, None, None]
+        qp = mps.sites[i].charges[None, :, None]
+        qR = mps.q_bond[i + 1][None, None, :]
+        bad = (qL + qp - qR - mps.qtotal[i]) % 2 != 0
+        assert np.abs(T[bad]).max(initial=0.0) < 1e-10
+
+
+def test_canonical_forms_pfaffian():
+    L = 6
+    H = majorana_random_H(L, seed=9)
+    mps = pfaffian.H_to_MPS(H, {"chi_max": 64}, basis="M")
+    c = mps.form.index("B")
+    for i in range(L):
+        T = np.asarray(mps._B[i])
+        if i < c:
+            g = np.einsum("anb,anc->bc", T.conj(), T)
+        else:
+            g = np.einsum("anb,cnb->ac", T, T.conj())
+        np.testing.assert_allclose(g, np.eye(len(g)), atol=1e-8)
+
+
+def test_schmidt_modes_halves():
+    """lambda = 1/2 machinery: a dimerized Kitaev chain (t = Delta inside
+    dimers only) has correlation eigenvalue exactly 1/2 at cuts inside a
+    dimer, exercising the half-mode realification/SVD/shuffle path."""
+    L = 6
+    h = np.zeros((L, L))
+    D = np.zeros((L, L))
+    for i in range(L):  # periodic ring at the sweet spot: gapped, kh = 1
+        j = (i + 1) % L
+        h[i, j] = h[j, i] = -1.0
+        D[i, j] += 1.0
+        D[j, i] += -1.0
+    H = nambu_from_quadratic(h, D)
+    modes = pfaffian.SchmidtModes.from_correlation_matrix(
+        pfaffian.correlation_matrix(H, basis="C->M"), 3, {"chi_max": 64}, basis="M"
+    )
+    assert np.isclose(modes.e[-1], 0.5, atol=1e-10), "expected a 1/2 mode"
+    mps = pfaffian.H_to_MPS(H, {"chi_max": 64}, basis="C")
+    psi_exact = exact_bdg_ground_state(L, h, D)
+    f = oracles.fidelity(psi_exact, mps.to_statevector())
+    assert f > 1 - 1e-9, f"fidelity {f}"
