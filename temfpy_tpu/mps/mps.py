@@ -202,8 +202,8 @@ class MPS:
             out.append(T)
         if c == self.L:  # all A: multiply trailing S (norm factor) into last
             out[-1] = out[-1] * self._dS(self.L)[None, None, :]
-        if self.norm != 1.0:
-            out[0] = out[0] * self.norm
+        # NB self.norm (weight lost to truncation/projection) is deliberately
+        # NOT folded in: the canonical tensors represent the normalised state
         return out
 
     # ------------------------------------------------------------------

@@ -1133,6 +1133,153 @@ def C_to_MPS(
     )
 
 
+def C_to_iMPS(
+    C_short,
+    C_long,
+    trunc_par,
+    sites_per_cell: int,
+    cut: int,
+    *,
+    basis: str,
+    diag_tol: float = _DIAG_TOL,
+    unitary_tol: float | None = None,
+    schmidt_tol: float | None = None,
+    unit_cell_width: int | None = None,
+):
+    r"""iMPS representation of a Nambu mean-field state from two correlation
+    matrices differing by one repeating unit cell
+    (reference pfaffian.py:1924-2091).
+
+    The gauge-fixing Schmidt overlaps come from the Pfaffian overlap
+    formulas (:class:`MPSTensorData` with equal-length bra/ket); the
+    rightmost tensor closes onto the short chain's right Schmidt vectors, so
+    right-side errors are identically zero.
+    """
+    from . import iMPS as imps_mod
+
+    trunc_par = to_stopping_condition(trunc_par)
+    unitary_tol = imps_mod._UNITARY_TOL if unitary_tol is None else unitary_tol
+    schmidt_tol = imps_mod._SCHMIDT_TOL if schmidt_tol is None else schmidt_tol
+
+    if basis == "C":
+        C_short = matrix_C2M(C_short)
+        C_long = matrix_C2M(C_long)
+    elif basis != "M":
+        raise ValueError(f"Argument `basis` must be 'M' or 'C', got {basis!r}")
+    tol = trunc_par.svd_min**2
+    C_short = jnp.asarray(assert_nambu_correlation(np.asarray(C_short), "M", atol=tol))
+    C_long = jnp.asarray(assert_nambu_correlation(np.asarray(C_long), "M", atol=tol))
+
+    L_short = C_short.shape[0] // 2
+    L_long = C_long.shape[0] // 2
+    assert L_short + sites_per_cell == L_long, (
+        "The given two systems must differ by one unit cell, got "
+        f"{L_long} - {L_short} != {sites_per_cell}"
+    )
+    if unit_cell_width is None:
+        unit_cell_width = sites_per_cell
+    elif sites_per_cell % unit_cell_width != 0:
+        raise ValueError(f"{unit_cell_width = } does not divide {sites_per_cell = }")
+
+    Schmidt_short = SchmidtVectors.from_correlation_matrix(
+        C_short, cut, trunc_par, basis="M", diag_tol=diag_tol
+    )
+    Schmidt_long = SchmidtVectors.from_correlation_matrix(
+        C_long, cut, trunc_par, basis="M", diag_tol=diag_tol
+    )
+    total_parity = Schmidt_long.parity()
+
+    lams = [normalize_SV(Schmidt_short.schmidt_values, logger)]
+    q_bonds = [Schmidt_short.q_parity(Schmidt_short.pL)]
+    tensors = []
+    qts = []
+
+    Schmidt = Schmidt_long
+    for i in range(sites_per_cell):
+        logger.info("Site %d", i)
+        if i == sites_per_cell - 1:
+            Schmidt_new = Schmidt_short
+            lams.append(lams[0])
+            q_bonds.append(q_bonds[0])
+        else:
+            Schmidt_new = SchmidtVectors.from_correlation_matrix(
+                C_long,
+                cut + i + 1,
+                trunc_par,
+                which="R",
+                basis="M",
+                diag_tol=diag_tol,
+                total_parity=total_parity,
+            )
+            lams.append(normalize_SV(Schmidt_new.schmidt_values, logger))
+            q_bonds.append(Schmidt_new.q_parity(Schmidt_new.pL))
+        data = MPSTensorData.from_schmidt_vectors(Schmidt_new, Schmidt, "right")
+        T, _, _, qt = data.to_dense_tensor()
+        tensors.append(T)
+        qts.append(qt)
+        Schmidt = Schmidt_new
+
+    # gauge-fix the first tensor
+    data = MPSTensorData.from_schmidt_vectors(Schmidt_short, Schmidt_long, "left")
+    Cmat, q_bra, q_ket, qt_c = data.to_dense_tensor()
+    Cmat, left_unitary, left_schmidt = imps_mod.basis_rotation(
+        Cmat,
+        normalize_SV(Schmidt_short.schmidt_values, None),
+        normalize_SV(Schmidt_long.schmidt_values, None),
+        mode="left",
+        q_bra=q_bra,
+        q_ket=q_ket,
+        chinfo=fermion_site.chinfo,
+        unitary_tol=unitary_tol,
+        schmidt_tol=schmidt_tol,
+    )
+    tensors[0] = jnp.einsum("ab,bnc->anc", Cmat, tensors[0])
+
+    imps = MPS(
+        [fermion_site] * sites_per_cell,
+        tensors,
+        lams,
+        form="B",
+        bc="infinite",
+        unit_cell_width=unit_cell_width,
+        q_bonds=q_bonds,
+        qtotals=qts,
+    )
+    error = imps_mod.iMPSError(left_unitary, left_schmidt, 0.0, 0.0)
+    return imps, error
+
+
+def H_to_iMPS(
+    H_short,
+    H_long,
+    trunc_par,
+    sites_per_cell: int,
+    cut: int,
+    *,
+    basis: str,
+    diag_tol: float = _DIAG_TOL,
+    unitary_tol: float | None = None,
+    schmidt_tol: float | None = None,
+    unit_cell_width: int | None = None,
+):
+    r"""iMPS representation of a Nambu mean-field state from two BdG
+    Hamiltonians differing by one unit cell (reference pfaffian.py:2151-2243)."""
+    C_short = correlation_matrix(H_short, basis=f"{basis}->{basis}")
+    C_long = correlation_matrix(H_long, basis=f"{basis}->{basis}")
+    return C_to_iMPS(
+        C_short,
+        C_long,
+        trunc_par,
+        sites_per_cell,
+        cut,
+        basis=basis,
+        diag_tol=diag_tol,
+        unitary_tol=unitary_tol,
+        schmidt_tol=schmidt_tol,
+        unit_cell_width=unit_cell_width,
+    )
+
+
 def H_to_MPS(
     H,
     trunc_par,

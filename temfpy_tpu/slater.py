@@ -885,6 +885,176 @@ def C_to_MPS(
     return mps
 
 
+def C_to_iMPS(
+    C_short,
+    C_long,
+    trunc_par,
+    sites_per_cell: int,
+    cut: int,
+    *,
+    diag_tol: float = _DIAG_TOL,
+    unitary_tol: float | None = None,
+    schmidt_tol: float | None = None,
+    spinful: Literal["simple", "PH", None] = None,
+    offset="auto",
+    unit_cell_width: int | None = None,
+):
+    r"""iMPS representation of a Slater determinant from two correlation
+    matrices differing by one repeating unit cell
+    (reference slater.py:1356-1565).
+
+    Unlike :func:`temfpy_tpu.iMPS.MPS_to_iMPS`, no environment tensors are
+    contracted: the gauge-fixing Schmidt overlaps are computed directly from
+    the Slater overlap formulas (:class:`MPSTensorData` with equal-length
+    bra/ket), and the rightmost tensor is built from the short chain's right
+    Schmidt vectors, so the right-side errors are identically zero.
+    """
+    from . import iMPS as imps_mod
+
+    trunc_par = to_stopping_condition(trunc_par)
+    unitary_tol = imps_mod._UNITARY_TOL if unitary_tol is None else unitary_tol
+    schmidt_tol = imps_mod._SCHMIDT_TOL if schmidt_tol is None else schmidt_tol
+
+    if unit_cell_width is None:
+        unit_cell_width = sites_per_cell
+    elif sites_per_cell % unit_cell_width != 0:
+        raise ValueError(f"{unit_cell_width = } does not divide {sites_per_cell = }")
+
+    if spinful == "simple":
+        if offset == "auto":
+            offset = 2 * round(float(np.trace(np.asarray(C_short)[:cut, :cut]).real))
+            logger.info("Using total offset %s for conserved fermion number", offset)
+        else:
+            offset *= 2
+        C_short = spinful_correlation_matrix(C_short, False)
+        C_long = spinful_correlation_matrix(C_long, False)
+        sites_per_cell *= 2
+        cut *= 2
+    elif spinful == "PH":
+        C_short = spinful_correlation_matrix(C_short, True)
+        C_long = spinful_correlation_matrix(C_long, True)
+        sites_per_cell *= 2
+        cut *= 2
+    elif spinful is not None:
+        raise ValueError(f"`spinful` must be 'simple', 'PH', or `None`, got {spinful!r}")
+
+    C_short = jnp.asarray(C_short)
+    C_long = jnp.asarray(C_long)
+    L_short = C_short.shape[0]
+    L_long = C_long.shape[0]
+    assert C_short.shape == (L_short, L_short)
+    assert C_long.shape == (L_long, L_long)
+    assert L_short + sites_per_cell == L_long, (
+        "The given two systems must differ by one unit cell, got "
+        f"{L_long} - {L_short} != {sites_per_cell}"
+    )
+
+    if offset == "auto":
+        offset = round(float(jnp.trace(C_short[:cut, :cut]).real))
+        logger.info("Using offset %s for conserved fermion number", offset)
+    offset = int(offset)
+
+    Schmidt_short = SchmidtVectors.from_correlation_matrix(
+        C_short, cut, trunc_par, diag_tol=diag_tol
+    )
+    Schmidt_long = SchmidtVectors.from_correlation_matrix(
+        C_long, cut, trunc_par, diag_tol=diag_tol
+    )
+
+    lams = [normalize_SV(Schmidt_short.schmidt_values, logger)]
+    q_bonds = [Schmidt_short.q_left - offset]
+    tensors = []
+    qts = []
+
+    # right-canonical cell tensors from the long chain (last one closes onto
+    # the short chain's right environment)
+    mid_cuts = list(range(cut + 1, cut + sites_per_cell))
+    mid_sv = _schmidt_vectors_batched(
+        C_long, mid_cuts, "R", trunc_par, diag_tol, chunk=32
+    )
+    Schmidt = Schmidt_long
+    for i in range(sites_per_cell):
+        logger.info("Site %d", i)
+        if i == sites_per_cell - 1:
+            Schmidt_new = Schmidt_short
+            lams.append(lams[0])
+            q_bonds.append(q_bonds[0])
+        else:
+            Schmidt_new = mid_sv[i]
+            lams.append(normalize_SV(Schmidt_new.schmidt_values, logger))
+            q_bonds.append(Schmidt_new.q_left - offset)
+        data = MPSTensorData.from_schmidt_vectors(Schmidt_new, Schmidt, "right")
+        T, _, _, qt = data.to_dense_tensor()
+        tensors.append(T)
+        qts.append(qt)
+        Schmidt = Schmidt_new
+
+    # gauge-fix the first tensor via the Slater overlap of the two chains'
+    # left Schmidt bases
+    data = MPSTensorData.from_schmidt_vectors(Schmidt_short, Schmidt_long, "left")
+    Cmat, q_bra, q_ket, qt_c = data.to_dense_tensor()
+    Cmat, left_unitary, left_schmidt = imps_mod.basis_rotation(
+        Cmat,
+        normalize_SV(Schmidt_short.schmidt_values, None),
+        normalize_SV(Schmidt_long.schmidt_values, None),
+        mode="left",
+        q_bra=q_bra,
+        q_ket=q_ket,
+        chinfo=fermion_site.chinfo,
+        qtotal=qt_c,
+        unitary_tol=unitary_tol,
+        schmidt_tol=schmidt_tol,
+    )
+    tensors[0] = jnp.einsum("ab,bnc->anc", Cmat, tensors[0])
+    qts[0] += qt_c
+
+    imps = MPS(
+        [fermion_site] * sites_per_cell,
+        tensors,
+        lams,
+        form="B",
+        bc="infinite",
+        unit_cell_width=unit_cell_width,
+        q_bonds=q_bonds,
+        qtotals=qts,
+    )
+    error = imps_mod.iMPSError(left_unitary, left_schmidt, 0.0, 0.0)
+    return imps, error
+
+
+def H_to_iMPS(
+    H_short,
+    H_long,
+    trunc_par,
+    sites_per_cell: int,
+    cut: int,
+    *,
+    diag_tol: float = _DIAG_TOL,
+    unitary_tol: float | None = None,
+    schmidt_tol: float | None = None,
+    spinful: Literal["simple", "PH", None] = None,
+    offset="auto",
+    unit_cell_width: int | None = None,
+):
+    r"""iMPS representation of a Slater determinant from two single-particle
+    Hamiltonians differing by one unit cell (reference slater.py:1630-1735)."""
+    C_short, _ = correlation_matrix(H_short)
+    C_long, _ = correlation_matrix(H_long)
+    return C_to_iMPS(
+        C_short,
+        C_long,
+        trunc_par,
+        sites_per_cell,
+        cut,
+        diag_tol=diag_tol,
+        unitary_tol=unitary_tol,
+        schmidt_tol=schmidt_tol,
+        spinful=spinful,
+        offset=offset,
+        unit_cell_width=unit_cell_width,
+    )
+
+
 def H_to_MPS(
     H,
     trunc_par,

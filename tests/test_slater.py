@@ -12,7 +12,20 @@ from temfpy_tpu.utils import HT
 
 import oracles
 
-tst.TEST_ACTION = "raise"
+_ACTION = "raise"
+
+import pytest as _pytest
+
+
+@_pytest.fixture(autouse=True)
+def _set_test_action():
+    """TEST_ACTION is a library-wide global; pin it per test module (module
+    collection order would otherwise leak the last import's setting)."""
+    old = tst.TEST_ACTION
+    tst.TEST_ACTION = _ACTION
+    yield
+    tst.TEST_ACTION = old
+
 
 
 def hopping_H(L, t=-1.0):
