@@ -19,6 +19,20 @@ import jax
 if os.environ.get("TEMFPY_TPU_X64", "1") != "0":
     jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: conversions use a small family of bucketed
+# executables (batched eigh, det/Pfaffian batches, scatters) that are
+# identical across runs; caching them makes cold starts cheap.
+if os.environ.get("TEMFPY_TPU_COMPILE_CACHE", "1") != "0":
+    _cache_dir = os.environ.get(
+        "TEMFPY_TPU_COMPILE_CACHE_DIR", os.path.expanduser("~/.cache/temfpy_tpu_jax")
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # older jax without these flags
+        pass
+
 import jax.numpy as jnp  # noqa: E402  (after x64 flag)
 import numpy as np  # noqa: E402
 

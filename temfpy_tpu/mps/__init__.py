@@ -15,3 +15,4 @@ from .charges import ChargeInfo  # noqa: F401
 from .site import FermionSite, SpinHalfSite, Site  # noqa: F401
 from .mps import MPS  # noqa: F401
 from .charged_linalg import charged_svd, charged_qr  # noqa: F401
+from .io import save_mps, load_mps  # noqa: F401

@@ -462,17 +462,24 @@ class MPS:
         self.norm = norm
         return self
 
-    def canonical_form_infinite(self, cutoff: float = 1e-12, tol: float = 1e-12, max_iter: int = 2000):
-        """Brings an infinite MPS into canonical form via the fixed points of
-        the unit-cell transfer matrix (Orus-Vidal style), replacing TeNPy's
-        ``canonical_form_infinite1`` (reference gutzwiller.py:473).
+    def canonical_form_infinite(self, cutoff: float = 1e-10, tol: float = 1e-13, max_iter: int = 5000):
+        """Brings an infinite MPS into right-canonical form via the fixed
+        points of the unit-cell transfer matrix (Orus-Vidal style), replacing
+        TeNPy's ``canonical_form_infinite1`` (reference gutzwiller.py:473).
 
-        Works in-place; assumes the dominant transfer eigenvalue is
-        non-degenerate (injective MPS).
+        Steps: (1) dominant left/right fixed points rho_L = Y^H Y,
+        rho_R = X X^H of the cell transfer matrix (power iteration);
+        (2) boundary gauge B_cell = V^H X^+ (cell) X V with
+        U S V^H = svd(Y X), making the cell right-canonical as a whole with
+        left fixed point diag(S^2); (3) interior bonds: sweep the left
+        environment  rho <- T_i^H rho T_i  and diagonalise it at every bond
+        (unitary bond rotations preserve right-canonicality), which yields
+        the Schmidt values.  Charge labels are not propagated (the fixed-
+        point gauge mixes sectors); assumes an injective MPS.
         """
         assert not self.finite
         L = self.L
-        T = list(self._B)  # treat current tensors as the cell, arbitrary gauge
+        T = [jnp.asarray(Ti) for Ti in self._B]
         chi = T[0].shape[0]
         dtype = T[0].dtype
 
@@ -489,110 +496,84 @@ class MPS:
         def dominant(fn):
             X = jnp.eye(chi, dtype=dtype)
             lam = 1.0
-            for _ in range(max_iter):
+            for it in range(max_iter):
                 Y = fn(X)
                 Y = (Y + Y.conj().T) / 2
-                lam_new = float(jnp.linalg.norm(Y))
-                Y = Y / lam_new
+                lam = float(jnp.linalg.norm(Y))
+                Y = Y / lam
                 if float(jnp.linalg.norm(Y - X)) < tol:
-                    X = Y
-                    lam = lam_new
-                    break
+                    return Y, lam
                 X = Y
-                lam = lam_new
+            logger.warning("transfer-matrix power iteration did not converge")
             return X, lam
 
         rho_R, lam = dominant(tm_right)
         rho_L, _ = dominant(tm_left)
 
-        # normalise the state: divide each tensor by lam^(1/(2L))
+        # normalise so the cell transfer matrix has dominant eigenvalue 1
         scale = lam ** (-0.5 / L)
         T = [Ti * scale for Ti in T]
 
-        # factor the fixed points
+        # factor the fixed points with spectral clipping
         eR, UR = jnp.linalg.eigh(rho_R)
-        eR = jnp.clip(eR, 0.0, None)
-        X = UR * jnp.sqrt(eR)[None, :]  # rho_R = X X^dagger
-        eL, UL = jnp.linalg.eigh(rho_L)
-        eL = jnp.clip(eL, 0.0, None)
-        Y = (UL * jnp.sqrt(eL)[None, :]).conj().T  # rho_L = Y^dagger Y
+        eR_h = np.asarray(eR)
+        keepR = eR_h > max(cutoff * eR_h.max(), 0.0)
+        X = UR[:, keepR] * jnp.sqrt(eR[keepR])[None, :]  # (chi, kR)
+        Xp = (1.0 / jnp.sqrt(eR[keepR]))[:, None] * UR[:, keepR].conj().T  # (kR, chi)
 
-        # boundary bond: Y X = U S V^dagger
-        U, S, Vh = jnp.linalg.svd(Y @ X)
+        eL, UL = jnp.linalg.eigh(rho_L)
+        eL_h = np.asarray(eL)
+        keepL = eL_h > max(cutoff * eL_h.max(), 0.0)
+        Y = (UL[:, keepL] * jnp.sqrt(eL[keepL])[None, :]).conj().T  # (kL, chi)
+
+        U, S, Vh = jnp.linalg.svd(Y @ X, full_matrices=False)
         S_host = np.asarray(S)
         keep = S_host > cutoff * S_host.max()
-        k = int(keep.sum())
-        U, S, Vh = U[:, :k], S[:k], Vh[:k, :]
-        S_host = S_host[:k]
+        r = int(keep.sum())
+        S_host = S_host[:r]
         S_host = S_host / np.linalg.norm(S_host)
+        V = Vh[:r, :].conj().T  # (kR, r)
 
-        # gauge transforms to insert at the cell boundary
-        # left side: G_L = S^{-1} U^dag Y ; right side: G_R = X V S^{... }
-        pinvS = jnp.asarray(1.0 / S_host)
-        GL = (U.conj().T @ Y)  # maps old left bond -> new bond, carries S
-        GR = X @ Vh.conj().T  # old right bond -> new bond
-        # new cell: B-form requires  cell' = S^{-1} GL cell GR, with S at both ends
-        T[0] = jnp.einsum("a,ab,bnc->anc", pinvS, GL, T[0])
-        T[-1] = jnp.einsum("anb,bc->anc", T[-1], GR)
+        # boundary gauge: bond0' = V^H X^+ . bond0 ;  bondL' = bondL . X V
+        T[0] = jnp.einsum("ra,anb->rnb", V.conj().T @ Xp, T[0])
+        T[-1] = jnp.einsum("anb,br->anr", T[-1], X @ V)
 
-        # now the wrap-around bond is canonical with Schmidt values S_host.
-        # canonicalise the interior bonds with a finite-style sweep on the
-        # open cell  diag(S) T_0 ... T_{L-1} diag(S)  (fixing both ends).
-        G = [Ti for Ti in T]
-        G[0] = jnp.asarray(S_host)[:, None, None] * G[0]
-        G[-1] = G[-1] * jnp.asarray(S_host)[None, None, :]
+        # right-to-left LQ sweep: make each interior tensor individually
+        # right-canonical (the whole cell already is, so T[0] ends up
+        # right-canonical automatically)
+        for i in reversed(range(1, L)):
+            a, d, b = T[i].shape
+            M = T[i].reshape(a, d * b)
+            Q_t, R_t = jnp.linalg.qr(M.conj().T, mode="reduced")  # M = R^H Q^H
+            T[i] = Q_t.conj().T.reshape(-1, d, b)
+            T[i - 1] = jnp.einsum("anb,bc->anc", T[i - 1], R_t.conj().T)
 
-        chinfo = self.chinfo
-        # bond charges: dominant-eigenvector gauge scrambles labels; only the
-        # trivial (no-charge) case retains meaningful labels after this.
-        q_bonds = [np.zeros(k, np.int64)] + [None] * (L - 1) + [np.zeros(k, np.int64)]
-
-        # left-to-right QR (no truncation)
-        carry = jnp.eye(k, dtype=dtype)
-        A_list = []
-        q_carry = q_bonds[0]
-        for i in range(L):
-            Ti = jnp.einsum("ab,bnc->anc", carry, G[i])
-            chiL, d, chiR = Ti.shape
-            M = Ti.reshape(chiL * d, chiR)
-            q_row = (q_carry[:, None] + self.sites[i].charges[None, :] * 0).reshape(-1)
-            Q, R = jnp.linalg.qr(M, mode="reduced")
-            A_list.append(Q.reshape(chiL, d, Q.shape[1]))
-            carry = R
-            q_carry = np.zeros(Q.shape[1], np.int64)
-        # right-to-left SVD with S boundary
-        B_list = [None] * L
+        # interior sweep: diagonalise the left environment at every bond
         S_list = [None] * (L + 1)
         S_list[0] = S_list[L] = S_host
-        carry_r = carry  # (k', k) leftover mapping onto right boundary
-        for i in reversed(range(L)):
-            Ti = A_list[i]
-            Ti = jnp.einsum("anb,bc->anc", Ti, carry_r)
-            chiL, d, chiR = Ti.shape
-            M = Ti.reshape(chiL, d * chiR)
-            Ub, Sb, Vhb = jnp.linalg.svd(M, full_matrices=False)
-            Sb_host = np.asarray(Sb)
-            keep = Sb_host > cutoff * Sb_host.max()
-            kk = int(keep.sum())
-            Ub, Sb_host, Vhb = Ub[:, :kk], Sb_host[:kk], Vhb[:kk, :]
-            nrm = np.linalg.norm(Sb_host)
-            Sb_host = Sb_host / nrm
-            B_list[i] = Vhb.reshape(kk, d, chiR)
-            if i > 0:
-                S_list[i] = Sb_host
-                carry_r = Ub * jnp.asarray(Sb_host * nrm)[None, :]
-            else:
-                # wrap: leftover must be ~ diag(S) x unitary phase; absorb
-                carry_r = Ub * jnp.asarray(Sb_host * nrm)[None, :]
-                # B-form: T_0 should absorb S^{-1} carry; carry ~ diag(S) U
-                fix = jnp.asarray(1.0 / S_host)[:, None] * carry_r
-                B_list[0] = jnp.einsum("ab,bnc->anc", fix, B_list[0])
-        self._B = B_list
+        rho = jnp.asarray(np.diag(S_host**2)).astype(dtype)
+        for i in range(L - 1):
+            rho = jnp.einsum("ab,anc,bnd->cd", rho, T[i], T[i].conj())
+            rho = (rho + rho.conj().T) / 2
+            e, W = jnp.linalg.eigh(rho)
+            e_h = np.clip(np.asarray(e), 0.0, None)
+            # descending order for conventional Schmidt ordering
+            order = jnp.asarray(np.argsort(e_h)[::-1].copy())
+            W = W[:, order]
+            e_h = e_h[np.asarray(order)]
+            T[i] = jnp.einsum("anb,bc->anc", T[i], W)
+            T[i + 1] = jnp.einsum("ba,bnc->anc", W.conj(), T[i + 1])
+            s = np.sqrt(e_h)
+            nrm = np.linalg.norm(s)
+            S_list[i + 1] = s / (nrm if nrm > 0 else 1.0)
+            rho = jnp.asarray(np.diag(e_h)).astype(dtype)
+
+        self._B = T
         self._S = S_list
         self.form = ["B"] * L
-        self.q_bond = [
-            np.zeros(B_list[i].shape[0], np.int64) for i in range(L)
-        ] + [np.zeros(B_list[-1].shape[2], np.int64)]
+        self.q_bond = [np.zeros(Ti.shape[0], np.int64) for Ti in T] + [
+            np.zeros(T[-1].shape[2], np.int64)
+        ]
         self.qtotal = np.zeros(L, np.int64)
         return self
 

@@ -99,6 +99,35 @@ def eigh_blocks(C, sizes, side: str = "L", chunk: int | None = None):
 # --------------------------------------------------------------------------
 
 
+def scatter_padded(vals, shape, indices, n_real: int, dtype=None):
+    """Scatters a padded value batch into a dense array with static shapes.
+
+    ``vals`` has bucketed length P_b >= n_real; entries past ``n_real`` are
+    dummies and are routed to a trash slot appended on axis 0, so one
+    compiled scatter serves every bucket size.
+
+    Parameters
+    ----------
+    vals: (P_b,) device values.
+    shape: target dense shape.
+    indices: tuple of host int arrays of length ``n_real`` (one per axis).
+    n_real: number of real entries.
+
+    Returns the (shape)-shaped device array.
+    """
+    vals = jnp.asarray(vals)
+    P_b = vals.shape[0]
+    dtype = dtype or vals.dtype
+    padded = []
+    for ax, ix in enumerate(indices):
+        full = np.full(P_b, shape[0] if ax == 0 else 0, dtype=np.int64)
+        full[:n_real] = ix
+        padded.append(jnp.asarray(full))
+    T = jnp.zeros((shape[0] + 1,) + tuple(shape[1:]), dtype=dtype)
+    T = T.at[tuple(padded)].set(vals.astype(dtype))
+    return T[: shape[0]]
+
+
 def block_diag_identity_pad(M, pad: int):
     """Returns ``block_diag(M, I_pad)``: the identity extension used to embed
     k x k determinant problems into k_max x k_max ones without changing the

@@ -35,9 +35,10 @@ import jax.numpy as jnp
 
 from .config import DIAG_TOL as _DIAG_TOL
 from .mps import MPS, FermionSite
-from .ops.linalg import block_svd, eigh_blocks
+from .ops.linalg import block_svd, eigh_blocks, scatter_padded
 from .ops.pfaffian import batched_pfaffian_pairs
 from .schmidt_utils import StoppingCondition, lowest_sums, to_stopping_condition
+from . import profiling
 from .testing import (
     assert_allclose,
     assert_array_less,
@@ -985,7 +986,8 @@ class MPSTensorData:
         take_b = (slot >= nk[:, None]) & (slot < total[:, None])
         idx = np.where(take_b, bra_vals, idx)
 
-        # bucket the batch axis; dummy rows are all-pad (Pf = 1, discarded)
+        # bucket the batch axis; dummy rows are all-pad (Pf = 1) and are
+        # routed to a trash slot by the padded scatter downstream
         P_b = max(256, 1 << int(np.ceil(np.log2(P))))
         if P_b > P:
             pad_row = m + np.arange(width, dtype=np.int32)
@@ -993,7 +995,7 @@ class MPSTensorData:
 
         vals = batched_pfaffian_pairs(
             self.pfaffian_matrix, idx, pad_slots=width, chunk=pf_chunk
-        )[:P]
+        )
         vals = vals * self.norm
         return rows, cols, vals
 
@@ -1005,28 +1007,28 @@ class MPSTensorData:
         nb = len(self.q_bra)
         nk = len(self.q_ket)
         dtype = self.pfaffian_matrix.dtype
+        P = len(rows)
+        if vals is None:
+            shape = (nb, nk) if not self.physical_leg else (
+                (nb, 2, nk) if self.mode == "left" else (nk, 2, nb)
+            )
+            Z = jnp.zeros(shape, dtype=dtype)
+            if self.mode == "left" or not self.physical_leg:
+                return Z, self.q_bra, self.q_ket, self.qtotal
+            return Z, self.q_ket, self.q_bra, self.qtotal
         if not self.physical_leg:
-            M = jnp.zeros((nb, nk), dtype=dtype)
-            if vals is not None:
-                M = M.at[jnp.asarray(self.bra_beta[rows]), jnp.asarray(cols)].set(vals)
+            M = scatter_padded(vals, (nb, nk), (self.bra_beta[rows], cols), P, dtype)
             return M, self.q_bra, self.q_ket, self.qtotal
-        d = 2
         if self.mode == "left":
-            T = jnp.zeros((nb, d, nk), dtype=dtype)
-            if vals is not None:
-                T = T.at[
-                    jnp.asarray(self.bra_beta[rows]),
-                    jnp.asarray(self.bra_phys[rows]),
-                    jnp.asarray(cols),
-                ].set(vals)
+            T = scatter_padded(
+                vals, (nb, 2, nk),
+                (self.bra_beta[rows], self.bra_phys[rows], cols), P, dtype,
+            )
             return T, self.q_bra, self.q_ket, self.qtotal
-        T = jnp.zeros((nk, d, nb), dtype=dtype)
-        if vals is not None:
-            T = T.at[
-                jnp.asarray(cols),
-                jnp.asarray(self.bra_phys[rows]),
-                jnp.asarray(self.bra_beta[rows]),
-            ].set(vals)
+        T = scatter_padded(
+            vals, (nk, 2, nb),
+            (cols, self.bra_phys[rows], self.bra_beta[rows]), P, dtype,
+        )
         return T, self.q_ket, self.q_bra, self.qtotal
 
 
@@ -1077,8 +1079,9 @@ def C_to_MPS(
 
     def modes_batched(cuts, which):
         sizes = [2 * x if which == "L" else 2 * (L - x) for x in cuts]
-        e_all, v_all = eigh_blocks(C, sizes, which, chunk=eigh_chunk)
-        e_host = np.asarray(e_all)
+        with profiling.stage("eigh_batch"):
+            e_all, v_all = eigh_blocks(C, sizes, which, chunk=eigh_chunk)
+            e_host = np.asarray(e_all)
         out = []
         for i, x in enumerate(cuts):
             size = sizes[i]
@@ -1103,8 +1106,9 @@ def C_to_MPS(
         logger.info("Site %d", i)
         lams[i + 1] = normalize_SV(Schmidt_new.schmidt_values, logger)
         q_bonds[i + 1] = Schmidt_new.q_parity(Schmidt_new.pL)
-        data = MPSTensorData.from_schmidt_vectors(Schmidt_new, Schmidt, "right")
-        T, _, _, qt = data.to_dense_tensor()
+        with profiling.stage("tensor_fill"):
+            data = MPSTensorData.from_schmidt_vectors(Schmidt_new, Schmidt, "right")
+            T, _, _, qt = data.to_dense_tensor()
         tensors[i] = (T, qt)
         Schmidt = Schmidt_new
 
@@ -1115,8 +1119,9 @@ def C_to_MPS(
         logger.info("Site %d", i)
         lams[i] = normalize_SV(Schmidt_new.schmidt_values, logger)
         q_bonds[i] = Schmidt_new.q_parity(Schmidt_new.pL)
-        data = MPSTensorData.from_schmidt_vectors(Schmidt_new, Schmidt, "left")
-        T, _, _, qt = data.to_dense_tensor()
+        with profiling.stage("tensor_fill"):
+            data = MPSTensorData.from_schmidt_vectors(Schmidt_new, Schmidt, "left")
+            T, _, _, qt = data.to_dense_tensor()
         tensors[i] = (T, qt)
         Schmidt = Schmidt_new
 

@@ -33,8 +33,9 @@ import jax.numpy as jnp
 
 from .config import DIAG_TOL as _DIAG_TOL
 from .mps import MPS, FermionSite
-from .ops.linalg import batched_det_pairs, block_svd, eigh_blocks
+from .ops.linalg import batched_det_pairs, block_svd, eigh_blocks, scatter_padded
 from .schmidt_utils import StoppingCondition, lowest_sums, to_stopping_condition
+from . import profiling
 from .testing import assert_allclose, check_schmidt_decomposition
 from .utils import HT, n_slice, normalize_SV
 
@@ -650,7 +651,7 @@ class MPSTensorData:
                 pair_r.append(np.repeat(rows, cols.size))
                 pair_c.append(np.tile(cols, rows.size))
         if not pair_r:
-            return np.zeros(0, int), np.zeros(0, int), None
+            return np.zeros(0, int), np.zeros(0, int), None, 0
         rows = np.concatenate(pair_r)
         cols = np.concatenate(pair_c)
 
@@ -667,6 +668,8 @@ class MPSTensorData:
             idx_bra = np.where(idx_bra >= m, idx_bra - m + size, idx_bra)
             idx_ket = np.where(idx_ket >= m2, idx_ket - m2 + size, idx_ket)
         # bucket the pair count; dummy all-sentinel pairs evaluate to det=1
+        # and are kept in the batch (the scatter later routes them to a trash
+        # row, so the whole fill pipeline has bucketed static shapes)
         P = len(rows)
         P_b = max(256, 1 << int(np.ceil(np.log2(P))))
         if P_b > P:
@@ -679,9 +682,9 @@ class MPSTensorData:
             )
         else:
             idx_b, idx_k = idx_bra[rows], idx_ket[cols]
-        vals = batched_det_pairs(M, idx_b, idx_k, chunk=det_chunk)[:P]
+        vals = batched_det_pairs(M, idx_b, idx_k, chunk=det_chunk)
         vals = vals * self.det_always
-        return rows, cols, vals
+        return rows, cols, vals, P_b
 
     def to_dense_tensor(self, det_chunk: int | None = 65536):
         """The MPS tensor as a dense (chiL, d, chiR) device array with host
@@ -691,36 +694,37 @@ class MPSTensorData:
         Returns (tensor, q_left, q_right, qtotal) for physical_leg=True, or
         (matrix, q_bra, q_ket, qtotal) otherwise.
         """
-        rows, cols, vals = self._pair_values(det_chunk)
+        rows, cols, vals, _P_b = self._pair_values(det_chunk)
         nb = len(self.q_bra)
         nk = len(self.q_ket)
-        if not self.physical_leg:
-            M = jnp.zeros((nb, nk), dtype=self.sometimes_matrix.dtype)
-            if vals is not None:
-                M = M.at[jnp.asarray(self.bra_beta[rows]), jnp.asarray(cols)].set(vals)
-            return M, self.q_bra, self.q_ket, self.qtotal
+        dtype = self.sometimes_matrix.dtype
+        P = len(rows)
 
-        d = 2
+        if vals is None:
+            shape = (nb, nk) if not self.physical_leg else (
+                (nb, 2, nk) if self.mode == "left" else (nk, 2, nb)
+            )
+            Z = jnp.zeros(shape, dtype=dtype)
+            if self.mode == "left" or not self.physical_leg:
+                return Z, self.q_bra, self.q_ket, self.qtotal
+            return Z, self.q_ket, self.q_bra, self.qtotal
+
+        if not self.physical_leg:
+            M = scatter_padded(vals, (nb, nk), (self.bra_beta[rows], cols), P, dtype)
+            return M, self.q_bra, self.q_ket, self.qtotal
         if self.mode == "left":
             # T[a=bra, n, b=ket]
-            T = jnp.zeros((nb, d, nk), dtype=self.sometimes_matrix.dtype)
-            if vals is not None:
-                T = T.at[
-                    jnp.asarray(self.bra_beta[rows]),
-                    jnp.asarray(self.bra_phys[rows]),
-                    jnp.asarray(cols),
-                ].set(vals)
+            T = scatter_padded(
+                vals, (nb, 2, nk),
+                (self.bra_beta[rows], self.bra_phys[rows], cols), P, dtype,
+            )
             return T, self.q_bra, self.q_ket, self.qtotal
-        else:
-            # T[a=ket, n, b=bra]
-            T = jnp.zeros((nk, d, nb), dtype=self.sometimes_matrix.dtype)
-            if vals is not None:
-                T = T.at[
-                    jnp.asarray(cols),
-                    jnp.asarray(self.bra_phys[rows]),
-                    jnp.asarray(self.bra_beta[rows]),
-                ].set(vals)
-            return T, self.q_ket, self.q_bra, self.qtotal
+        # T[a=ket, n, b=bra]
+        T = scatter_padded(
+            vals, (nk, 2, nb),
+            (cols, self.bra_phys[rows], self.bra_beta[rows]), P, dtype,
+        )
+        return T, self.q_ket, self.q_bra, self.qtotal
 
 
 #### HIGH-LEVEL DRIVERS ####
@@ -768,8 +772,9 @@ def _schmidt_vectors_batched(
     L = C.shape[0]
     n_fermion = int(np.round(float(jnp.trace(C).real)))
     sizes = [x if which == "L" else L - x for x in cuts]
-    e_all, v_all = eigh_blocks(C, sizes, which, chunk=chunk)
-    e_host = np.asarray(e_all)
+    with profiling.stage("eigh_batch"):
+        e_all, v_all = eigh_blocks(C, sizes, which, chunk=chunk)
+        e_host = np.asarray(e_all)
     out = []
     for i, x in enumerate(cuts):
         size = sizes[i]
@@ -793,7 +798,8 @@ def _schmidt_vectors_batched(
                 diag_tol=diag_tol,
                 n_fermion=n_fermion,
             )
-        out.append(SchmidtVectors.from_schmidt_modes(modes, trunc_par))
+        with profiling.stage("schmidt_enumeration"):
+            out.append(SchmidtVectors.from_schmidt_modes(modes, trunc_par))
     return out
 
 
@@ -853,8 +859,9 @@ def C_to_MPS(
         logger.info("Site %d", i)
         lams[i + 1] = normalize_SV(Schmidt_new.schmidt_values, logger)
         q_bonds[i + 1] = Schmidt_new.q_left
-        data = MPSTensorData.from_schmidt_vectors(Schmidt_new, Schmidt, "right")
-        T, _, _, qt = data.to_dense_tensor()
+        with profiling.stage("tensor_fill"):
+            data = MPSTensorData.from_schmidt_vectors(Schmidt_new, Schmidt, "right")
+            T, _, _, qt = data.to_dense_tensor()
         tensors[i] = (T, qt)
         Schmidt = Schmidt_new
 
@@ -866,8 +873,9 @@ def C_to_MPS(
         logger.info("Site %d", i)
         lams[i] = normalize_SV(Schmidt_new.schmidt_values, logger)
         q_bonds[i] = Schmidt_new.q_left
-        data = MPSTensorData.from_schmidt_vectors(Schmidt_new, Schmidt, "left")
-        T, _, _, qt = data.to_dense_tensor()
+        with profiling.stage("tensor_fill"):
+            data = MPSTensorData.from_schmidt_vectors(Schmidt_new, Schmidt, "left")
+            T, _, _, qt = data.to_dense_tensor()
         tensors[i] = (T, qt)
         Schmidt = Schmidt_new
 
