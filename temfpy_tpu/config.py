@@ -22,7 +22,13 @@ if os.environ.get("TEMFPY_TPU_X64", "1") != "0":
 # Persistent compilation cache: conversions use a small family of bucketed
 # executables (batched eigh, det/Pfaffian batches, scatters) that are
 # identical across runs; caching them makes cold starts cheap.
-if os.environ.get("TEMFPY_TPU_COMPILE_CACHE", "1") != "0":
+# NOT enabled for the CPU backend: XLA:CPU AOT reload is unreliable (machine
+# feature autodetection mismatches on reload -> potential SIGILL).
+_platforms = os.environ.get("JAX_PLATFORMS", "")
+if (
+    os.environ.get("TEMFPY_TPU_COMPILE_CACHE", "1") != "0"
+    and _platforms not in ("cpu",)
+):
     _cache_dir = os.environ.get(
         "TEMFPY_TPU_COMPILE_CACHE_DIR", os.path.expanduser("~/.cache/temfpy_tpu_jax")
     )

@@ -494,9 +494,18 @@ class MPS:
             return X
 
         def dominant(fn):
+            """Dominant PSD fixed point of the (completely positive) cell
+            transfer map.
+
+            Power iteration first; if the dominant eigenvalue is (near-)
+            degenerate or accompanied by equal-magnitude rotating eigenvalues
+            (non-injective MPS, e.g. Gutzwiller-projected states that split
+            into superselection sectors), fall back to an Arnoldi solve of
+            the top eigenspace and assemble the maximal PSD fixed point as
+            the positive part of the summed real-eigenvalue candidates."""
             X = jnp.eye(chi, dtype=dtype)
             lam = 1.0
-            for it in range(max_iter):
+            for _ in range(min(max_iter, 500)):
                 Y = fn(X)
                 Y = (Y + Y.conj().T) / 2
                 lam = float(jnp.linalg.norm(Y))
@@ -504,39 +513,91 @@ class MPS:
                 if float(jnp.linalg.norm(Y - X)) < tol:
                     return Y, lam
                 X = Y
-            logger.warning("transfer-matrix power iteration did not converge")
-            return X, lam
 
-        rho_R, lam = dominant(tm_right)
-        rho_L, _ = dominant(tm_left)
+            import scipy.sparse.linalg as spla
 
-        # normalise so the cell transfer matrix has dominant eigenvalue 1
-        scale = lam ** (-0.5 / L)
-        T = [Ti * scale for Ti in T]
+            def mv(x):
+                Xm = jnp.asarray(x.reshape(chi, chi))
+                return np.asarray(fn(Xm)).ravel()
 
-        # factor the fixed points with spectral clipping
-        eR, UR = jnp.linalg.eigh(rho_R)
-        eR_h = np.asarray(eR)
-        keepR = eR_h > max(cutoff * eR_h.max(), 0.0)
-        X = UR[:, keepR] * jnp.sqrt(eR[keepR])[None, :]  # (chi, kR)
-        Xp = (1.0 / jnp.sqrt(eR[keepR]))[:, None] * UR[:, keepR].conj().T  # (kR, chi)
+            n2 = chi * chi
+            op = spla.LinearOperator((n2, n2), matvec=mv, dtype=complex)
+            k = min(6, n2 - 2)
+            try:
+                w, Vv = spla.eigs(op, k=k, which="LM", tol=1e-12, maxiter=5000)
+            except Exception as err:  # ARPACK failure: keep power-iter result
+                logger.warning("transfer-matrix Arnoldi failed (%s)", err)
+                return X, lam
+            lam = float(np.abs(w).max())
+            rho = np.zeros((chi, chi), dtype=complex)
+            for i in range(len(w)):
+                # real positive eigenvalues at the top of the spectrum
+                if abs(w[i].imag) < 1e-8 * lam and w[i].real > lam * (1 - 1e-6):
+                    Hm = Vv[:, i].reshape(chi, chi)
+                    Hm = (Hm + Hm.conj().T) / 2
+                    if np.trace(Hm).real < 0:
+                        Hm = -Hm
+                    rho += Hm
+            if np.linalg.norm(rho) == 0:  # should not happen for a CP map
+                logger.warning("no positive dominant fixed point found")
+                return X, lam
+            e_r, U_r = np.linalg.eigh(rho)
+            e_r = np.clip(e_r, 0.0, None)
+            rho = (U_r * e_r) @ U_r.conj().T
+            rho /= np.linalg.norm(rho)
+            if not jnp.iscomplexobj(jnp.zeros((), dtype)):
+                rho = rho.real
+            return jnp.asarray(rho.astype(dtype)), lam
 
-        eL, UL = jnp.linalg.eigh(rho_L)
-        eL_h = np.asarray(eL)
-        keepL = eL_h > max(cutoff * eL_h.max(), 0.0)
-        Y = (UL[:, keepL] * jnp.sqrt(eL[keepL])[None, :]).conj().T  # (kL, chi)
+        # The gauge pass may need iterating: when the MPS is reducible (e.g.
+        # Gutzwiller-projected states with superselection sectors), the SVD
+        # of Y X is rank-deficient and one pass only projects onto the common
+        # invariant support; repeating on the reduced cell converges.
+        S_host = None
+        for _pass in range(4):
+            chi = T[0].shape[0]
+            rho_R, lam = dominant(tm_right)
+            rho_L, _ = dominant(tm_left)
 
-        U, S, Vh = jnp.linalg.svd(Y @ X, full_matrices=False)
-        S_host = np.asarray(S)
-        keep = S_host > cutoff * S_host.max()
-        r = int(keep.sum())
-        S_host = S_host[:r]
-        S_host = S_host / np.linalg.norm(S_host)
-        V = Vh[:r, :].conj().T  # (kR, r)
+            # normalise so the cell transfer matrix has dominant eigenvalue 1
+            scale = lam ** (-0.5 / L)
+            T = [Ti * scale for Ti in T]
 
-        # boundary gauge: bond0' = V^H X^+ . bond0 ;  bondL' = bondL . X V
-        T[0] = jnp.einsum("ra,anb->rnb", V.conj().T @ Xp, T[0])
-        T[-1] = jnp.einsum("anb,br->anr", T[-1], X @ V)
+            # factor the fixed points with spectral clipping
+            eR, UR = jnp.linalg.eigh(rho_R)
+            eR_h = np.asarray(eR)
+            keepR = eR_h > max(cutoff * eR_h.max(), 0.0)
+            X = UR[:, keepR] * jnp.sqrt(eR[keepR])[None, :]  # (chi, kR)
+            Xp = (1.0 / jnp.sqrt(eR[keepR]))[:, None] * UR[:, keepR].conj().T
+
+            eL, UL = jnp.linalg.eigh(rho_L)
+            eL_h = np.asarray(eL)
+            keepL = eL_h > max(cutoff * eL_h.max(), 0.0)
+            Y = (UL[:, keepL] * jnp.sqrt(eL[keepL])[None, :]).conj().T  # (kL, chi)
+
+            U, S, Vh = jnp.linalg.svd(Y @ X, full_matrices=False)
+            S_host = np.asarray(S)
+            keep = S_host > cutoff * S_host.max()
+            r = int(keep.sum())
+            S_host = S_host[:r]
+            S_host = S_host / np.linalg.norm(S_host)
+            V = Vh[:r, :].conj().T  # (kR, r)
+
+            # boundary gauge: bond0' = V^H X^+ . bond0 ;  bondL' = bondL . X V
+            T[0] = jnp.einsum("ra,anb->rnb", V.conj().T @ Xp, T[0])
+            T[-1] = jnp.einsum("anb,br->anr", T[-1], X @ V)
+
+            # converged when the whole cell is right-canonical
+            E = jnp.eye(T[-1].shape[2], dtype=dtype)
+            E = tm_right(E)
+            resid = float(jnp.abs(E - jnp.eye(E.shape[0], dtype=dtype)).max())
+            if resid < 1e-9:
+                break
+        else:
+            logger.warning(
+                "canonical_form_infinite: boundary gauge residual %.2e after "
+                "4 passes (reducible MPS?)", resid,
+            )
 
         # right-to-left LQ sweep: make each interior tensor individually
         # right-canonical (the whole cell already is, so T[0] ends up

@@ -401,19 +401,28 @@ class SchmidtModes:
         if eL is not None:
             eL_a, keL, khL = analyse(np.asarray(eL), x)
             vL = jnp.asarray(vL_raw, complex)
-            vL = realify_half_modes(vL, eL_a, x, khL)
         if eR is not None:
             eR_a, keR, khR = analyse(np.asarray(eR), y)
             vR = jnp.asarray(vR_raw, complex)
-            vR = realify_half_modes(vR, eR_a, y, khR)
 
         if eL_a is None and eR_a is None:
             raise ValueError("need at least one of the L/R eigendecompositions")
 
         if (eL_a is not None) and (eR_a is not None):
-            assert keL == keR, "Unequal number of entangled modes"
-            assert khL == khR, "Unequal number of 1/2 modes"
+            if keL != keR or khL != khR:
+                # borderline eigenvalues classified differently on the two
+                # sides (cross-eigensolver rounding at the cutoff): Nambu
+                # windows are symmetric about the centre, so reconciliation
+                # is just taking the common (larger) counts
+                logger.info(
+                    "reconciling mode counts: ke %d/%d, kh %d/%d",
+                    keL, keR, khL, khR,
+                )
+                keL = keR = max(keL, keR)
+                khL = khR = max(khL, khR)
             k, kh = keL, khL
+            vL = realify_half_modes(vL, eL_a, x, kh)
+            vR = realify_half_modes(vR, eR_a, y, kh)
             e = eL_a[x - k : x]
             err = "Eigenvalues of C_LL and C_RR do not match"
             assert_allclose(e, eR_a[y - k : y], rtol=0, atol=deg_tol, err_msg=err)
@@ -442,9 +451,11 @@ class SchmidtModes:
         elif eL_a is not None:
             k, kh = keL, khL
             e = eL_a[x - k : x]
+            vL = realify_half_modes(vL, eL_a, x, kh)
         else:
             k, kh = keR, khR
             e = eR_a[y - k : y]
+            vR = realify_half_modes(vR, eR_a, y, kh)
 
         # fixed-seed quasirandom orthogonal shuffle of the 1/2 modes: breaks
         # the exact degeneracy in a reproducible way (reference

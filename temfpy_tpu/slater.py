@@ -50,7 +50,7 @@ fermion_site = FermionSite(conserve="N")
 #### ---------------- ####
 
 
-def _classify_spectrum(e: np.ndarray, cutoff: float, order: str):
+def _classify_spectrum(e: np.ndarray, cutoff: float, order: str, window=None):
     """Splits an ascending eigenvalue array into empty/entangled/filled and
     returns the canonical column permutation plus slice map (semantics of
     reference slater.py:324-375).
@@ -58,9 +58,16 @@ def _classify_spectrum(e: np.ndarray, cutoff: float, order: str):
     order "L": eigenvalues reordered to descending -> filled, entangled
     (descending), empty.  order "R": ascending with the entangled run
     reversed -> empty, entangled (descending), filled.
+
+    ``window`` optionally overrides the (x0, x1) entangled window (used to
+    reconcile the two sides of a cut when an eigenvalue sits at the cutoff
+    within solver noise).
     """
     n = e.size
-    x0, x1 = np.searchsorted(e, [cutoff, 1 - cutoff])
+    if window is None:
+        x0, x1 = np.searchsorted(e, [cutoff, 1 - cutoff])
+    else:
+        x0, x1 = window
     k = x1 - x0
     idx = np.arange(n)
     if order == "L":
@@ -81,6 +88,30 @@ def _classify_spectrum(e: np.ndarray, cutoff: float, order: str):
     else:
         raise ValueError(f"order must be 'L' or 'R', got {order!r}")
     return idx, ix, k
+
+
+def _widen_window(e: np.ndarray, cutoff: float, k_target: int):
+    """Entangled window (x0, x1) of the ascending spectrum ``e`` widened to
+    exactly ``k_target`` entries, preferring the eigenvalues closest to the
+    cutoff boundaries — reconciles borderline classifications between the
+    two sides of a cut (different eigensolvers round differently)."""
+    n = e.size
+    x0, x1 = (int(v) for v in np.searchsorted(e, [cutoff, 1 - cutoff]))
+    while x1 - x0 < k_target:
+        lo_gap = cutoff - e[x0 - 1] if x0 > 0 else np.inf
+        hi_gap = e[x1] - (1 - cutoff) if x1 < n else np.inf
+        if lo_gap <= hi_gap:
+            x0 -= 1
+        else:
+            x1 += 1
+    while x1 - x0 > k_target:
+        lo_gap = e[x0] - cutoff
+        hi_gap = (1 - cutoff) - e[x1 - 1]
+        if lo_gap <= hi_gap:
+            x0 += 1
+        else:
+            x1 -= 1
+    return x0, x1
 
 
 @dataclass(frozen=True)
@@ -184,8 +215,13 @@ class SchmidtModes:
 
     @property
     def e_ratio(self) -> np.ndarray:
-        r""":math:`\log((1-\lambda)/\lambda)` per entangled eigenvalue."""
-        return np.log((1 - self.e) / self.e)
+        r""":math:`\log((1-\lambda)/\lambda)` per entangled eigenvalue.
+
+        Borderline (cutoff-reconciled) modes with lambda = 0 or 1 yield
+        +/- inf, which the subset enumeration handles (such subsets are
+        never selected)."""
+        with np.errstate(divide="ignore"):
+            return np.log((1 - self.e) / self.e)
 
     def embed_subsets(self, sets: np.ndarray):
         """Extends subsets over entangled orbitals to occupations of *all*
@@ -246,6 +282,25 @@ class SchmidtModes:
             raise ValueError("need at least one of the L/R eigendecompositions")
 
         if eL is not None and eR is not None:
+            if kL != kR:
+                # an eigenvalue sits at the svd_min^2 cutoff within solver
+                # noise on one side only: widen the smaller side's window to
+                # the common count (borderline modes carry ~svd_min weight,
+                # so this choice is inert at the certified accuracy)
+                logger.info(
+                    "reconciling entangled-mode counts: kL=%d kR=%d", kL, kR
+                )
+                k_common = max(kL, kR)
+                if kL < k_common:
+                    win = _widen_window(eL, cutoff, k_common)
+                    idx, ixL, kL = _classify_spectrum(eL, cutoff, "L", window=win)
+                    vL = vL_raw[:, idx]
+                    eL_can = eL[idx[ixL["entangled"]]]
+                if kR < k_common:
+                    win = _widen_window(eR, cutoff, k_common)
+                    idx, ixR, kR = _classify_spectrum(eR, cutoff, "R", window=win)
+                    vR = vR_raw[:, idx]
+                    eR_can = eR[idx[ixR["entangled"]]]
             assert kL == kR, "number of entangled modes must match"
             k = kL
             deg_tol = trunc_par.degeneracy_tol
@@ -274,6 +329,10 @@ class SchmidtModes:
         logger.info("%d Schmidt modes found", k)
         if n_fermion is None:
             n_fermion = int(np.round(float(jnp.trace(C).real)))
+
+        # borderline (widened) modes may carry eigenvalues at/below 0 or
+        # at/above 1 within solver noise; clip so Schmidt weights stay valid
+        e = np.clip(np.asarray(e, float), 0.0, 1.0)
 
         modes = cls(
             e=np.asarray(e, float),
