@@ -98,15 +98,30 @@ def main():
 
     times = []
     mps = None
-    for rep in range(max(2, args.repeat)):
-        t0 = time.perf_counter()
-        mps = slater.C_to_MPS(C, {"chi_max": chi})
-        # sync: touch every tensor
-        for B in mps._B:
-            B.block_until_ready()
-        times.append(time.perf_counter() - t0)
-        if args.verbose:
-            print(f"run {rep}: {times[-1]:.2f}s", file=sys.stderr)
+    try:
+        for rep in range(max(2, args.repeat)):
+            t0 = time.perf_counter()
+            mps = slater.C_to_MPS(C, {"chi_max": chi})
+            # sync: touch every tensor
+            for B in mps._B:
+                B.block_until_ready()
+            times.append(time.perf_counter() - t0)
+            if args.verbose:
+                print(f"run {rep}: {times[-1]:.2f}s", file=sys.stderr)
+    except Exception as err:  # never leave the driver without a JSON line
+        print(f"bench failed: {err!r}", file=sys.stderr)
+        print(
+            json.dumps(
+                {
+                    "metric": f"slater_to_mps_L{L}_chi{chi}_seconds",
+                    "value": None,
+                    "unit": "s",
+                    "vs_baseline": None,
+                    "error": repr(err)[:200],
+                }
+            )
+        )
+        return
     value = min(times[1:])  # warm runs only
 
     # cheap quality audit: Schmidt-weighted canonicality residual (the

@@ -99,6 +99,100 @@ def eigh_blocks(C, sizes, side: str = "L", chunk: int | None = None):
 # --------------------------------------------------------------------------
 
 
+# --------------------------------------------------------------------------
+# Hand-rolled LU/Gauss kernels
+#
+# XLA:TPU's LuDecomposition expander supports only F32 and C64, so
+# jnp.linalg.det / solve / inv cannot compile for float64/complex128 on TPU.
+# These fori_loop implementations use only elementwise ops, gathers and
+# rank-1 updates, and therefore compile for every dtype on every backend.
+# --------------------------------------------------------------------------
+
+
+def _lu_det_body(A, det0):
+    """Determinant via in-place LU with partial pivoting (static shape)."""
+    n = A.shape[-1]
+    idx = jnp.arange(n)
+
+    def step(k, carry):
+        A, det = carry
+        col = jnp.where(idx >= k, jnp.abs(A[:, k]), -1.0)
+        p = jnp.argmax(col)
+        swap = p != k
+        perm = idx.at[k].set(p).at[p].set(k)
+        A = A[perm]
+        det = jnp.where(swap, -det, det)
+        piv = A[k, k]
+        det = det * piv
+        safe = jnp.where(piv == 0, jnp.ones((), A.dtype), piv)
+        factors = jnp.where(idx > k, A[:, k] / safe, 0.0)
+        A = A - factors[:, None] * A[k][None, :]
+        return A, det
+
+    _, det = jax.lax.fori_loop(0, n, step, (A, det0))
+    return det
+
+
+@jax.jit
+def lu_det(A):
+    """Batched determinants of (..., n, n) matrices; TPU-safe in all dtypes."""
+    A = jnp.asarray(A)
+    *batch, n, m = A.shape
+    assert n == m
+    if n == 0:
+        return jnp.ones(tuple(batch), dtype=A.dtype)
+    flat = A.reshape((-1, n, n))
+    one = jnp.ones((), A.dtype)
+    out = jax.vmap(lambda M: _lu_det_body(M, one))(flat)
+    return out.reshape(tuple(batch))
+
+
+@partial(jax.jit, static_argnames=())
+def gauss_solve_det(A, B):
+    """(det(A), A^{-1} B) via Gauss-Jordan with partial pivoting; TPU-safe in
+    all dtypes.  Used for the Schur-complement factorisation of the
+    always-occupied overlap block."""
+    A = jnp.asarray(A)
+    B = jnp.asarray(B, dtype=A.dtype)
+    n = A.shape[0]
+    if n == 0:
+        return jnp.ones((), A.dtype), B
+    M = jnp.concatenate([A, B], axis=1)
+    idx = jnp.arange(n)
+
+    def step(k, carry):
+        M, det = carry
+        col = jnp.where(idx >= k, jnp.abs(M[:, k]), -1.0)
+        p = jnp.argmax(col)
+        swap = p != k
+        perm = idx.at[k].set(p).at[p].set(k)
+        M = M[perm]
+        det = jnp.where(swap, -det, det)
+        piv = M[k, k]
+        det = det * piv
+        safe = jnp.where(piv == 0, jnp.ones((), M.dtype), piv)
+        row = M[k] / safe
+        factors = jnp.where(idx != k, M[:, k], 0.0)
+        M = M - factors[:, None] * row[None, :]
+        M = M.at[k].set(row)
+        return M, det
+
+    M, det = jax.lax.fori_loop(0, n, step, (M, jnp.ones((), A.dtype)))
+    return det, M[:, n:]
+
+
+@jax.jit
+def gauss_inverse(A):
+    """Batched inverse via Gauss-Jordan; TPU-safe in all dtypes."""
+    A = jnp.asarray(A)
+    *batch, n, m = A.shape
+    assert n == m
+    eye = jnp.eye(n, dtype=A.dtype)
+    flat = A.reshape((-1, n, n))
+    out = jax.vmap(lambda M: gauss_solve_det(M, eye)[1])(flat)
+    return out.reshape(A.shape)
+
+
 def scatter_padded(vals, shape, indices, n_real: int, dtype=None):
     """Scatters a padded value batch into a dense array with static shapes.
 
@@ -145,7 +239,7 @@ def block_diag_identity_pad(M, pad: int):
 def _det_pairs_impl(M_aug, row_idx, col_idx):
     # sub[p, s, t] = M_aug[row_idx[p, s], col_idx[p, t]]
     sub = M_aug[row_idx[:, :, None], col_idx[:, None, :]]
-    return jnp.linalg.det(sub)
+    return lu_det(sub)
 
 
 def batched_det_pairs(M, row_idx, col_idx, chunk: int | None = None):
@@ -179,7 +273,7 @@ def batched_det_pairs(M, row_idx, col_idx, chunk: int | None = None):
 def _det_gather_impl(M_aug, bra_idx, ket_idx):
     # sub[i, j, s, t] = M_aug[bra_idx[i, s], ket_idx[j, t]]
     sub = M_aug[bra_idx[:, None, :, None], ket_idx[None, :, None, :]]
-    return jnp.linalg.det(sub)
+    return lu_det(sub)
 
 
 def batched_det_gather(M, bra_idx, ket_idx, chunk: int | None = None):

@@ -11,7 +11,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import complex_dtype  # noqa: F401  (x64 side effect)
-from ..ops.linalg import _eigh_blocks_impl, block_diag_identity_pad
+from ..ops.linalg import _eigh_blocks_impl, block_diag_identity_pad, lu_det
 
 
 def make_mesh(n_devices: int | None = None, axes=("cuts", "pairs")) -> Mesh:
@@ -86,7 +86,7 @@ def sharded_schmidt_spectra(C, sizes, side: str, mesh: Mesh, axis: str = "cuts")
 @jax.jit
 def _det_pairs_sharded_impl(M_aug, rows, cols):
     sub = M_aug[rows[:, :, None], cols[:, None, :]]
-    return jnp.linalg.det(sub)
+    return lu_det(sub)
 
 
 def sharded_det_pairs(M, row_idx, col_idx, mesh: Mesh, axis: str = "pairs"):
@@ -160,7 +160,7 @@ def multichip_conversion_step(mesh: Mesh, L: int = 16, width: int = 4, n_pairs: 
         lam = jnp.clip(e, 1e-30, 1.0)
         ent = jnp.where(e < 1.5, -lam * jnp.log(lam), 0.0).sum()
         sub = M_aug[rows[:, :, None], cols[:, None, :]]
-        dets = jnp.linalg.det(sub)
+        dets = lu_det(sub)
         # cross-axis reduction: GSPMD inserts the all-reduce over both axes
         return ent + jnp.sum(jnp.abs(dets))
 

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from .config import DIAG_TOL as _DIAG_TOL
 from .mps import MPS, FermionSite
-from .ops.linalg import block_svd, eigh_blocks, scatter_padded
+from .ops.linalg import block_svd, eigh_blocks, gauss_inverse, scatter_padded
 from .ops.pfaffian import batched_pfaffian_pairs
 from .schmidt_utils import StoppingCondition, lowest_sums, to_stopping_condition
 from . import profiling
@@ -760,7 +760,7 @@ def _pfaffian_matrix(V1, V2, sets1, sets2, *, mode, tolerance=1e-8, min_SV=1e-6)
     elif mode != "right":
         raise ValueError('`mode` must be "left" or "right"')
 
-    Uxinv = jnp.linalg.inv(Vr[L:, L:])
+    Uxinv = gauss_inverse(Vr[L:, L:])  # TPU-safe (no LuDecomposition)
     j1 = jnp.asarray(idx1, dtype=jnp.int32)
     j2 = jnp.asarray(idx2, dtype=jnp.int32)
 

@@ -33,7 +33,13 @@ import jax.numpy as jnp
 
 from .config import DIAG_TOL as _DIAG_TOL
 from .mps import MPS, FermionSite
-from .ops.linalg import batched_det_pairs, block_svd, eigh_blocks, scatter_padded
+from .ops.linalg import (
+    batched_det_pairs,
+    block_svd,
+    eigh_blocks,
+    gauss_solve_det,
+    scatter_padded,
+)
 from .schmidt_utils import StoppingCondition, lowest_sums, to_stopping_condition
 from . import profiling
 from .testing import assert_allclose, check_schmidt_decomposition
@@ -655,15 +661,14 @@ class MPSTensorData:
             det_always = jnp.ones((), dtype=O.dtype)
             sometimes = O
         elif mode == "left":
-            A = O[:k, :k]
-            det_always = jnp.linalg.det(A)
-            sometimes = O[k:, k:] - O[k:, :k] @ jnp.linalg.solve(A, O[:k, k:])
+            # det and A^{-1}B in one Gauss-Jordan pass (TPU-safe all dtypes)
+            det_always, AinvB = gauss_solve_det(O[:k, :k], O[:k, k:])
+            sometimes = O[k:, k:] - O[k:, :k] @ AinvB
             sets_bra = sets_bra[:, k:]
             sets_ket = sets_ket[:, k:]
         else:
-            D = O[-k:, -k:]
-            det_always = jnp.linalg.det(D)
-            sometimes = O[:-k, :-k] - O[:-k, -k:] @ jnp.linalg.solve(D, O[-k:, :-k])
+            det_always, DinvC = gauss_solve_det(O[-k:, -k:], O[-k:, :-k])
+            sometimes = O[:-k, :-k] - O[:-k, -k:] @ DinvC
             sets_bra = sets_bra[:, :-k]
             sets_ket = sets_ket[:, :-k]
 
