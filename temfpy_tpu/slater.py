@@ -120,29 +120,51 @@ def _widen_window(e: np.ndarray, cutoff: float, k_target: int):
     return x0, x1
 
 
-@dataclass(frozen=True)
+@dataclass
 class SchmidtModes:
     """Mean-field orbitals generating the Schmidt vectors of a Slater
     determinant (reference slater.py:41-489).
 
-    ``vL``/``vR`` are device arrays with columns in the canonical order
-    described in the reference (filled, entangled desc, empty for L;
-    empty, entangled desc, filled for R); ``e`` lives on host.
+    TPU layout: the eigenvectors are kept in their FULL-frame form — the
+    (L, L) output of the padded batched eigh, in which the block vectors of a
+    cut occupy leading (side L) or trailing (side R) coordinates — plus a
+    host column map from the canonical ordering (filled, entangled desc,
+    empty for L; empty, entangled desc, filled for R) to frame columns.
+    Every downstream consumer gathers columns straight from the frame, so
+    one compiled executable serves every cut.  ``vL``/``vR`` materialise the
+    reference's canonical (n, n) matrices on demand (tests, checks).
     """
 
     e: np.ndarray
-    vL: object | None  # jnp (nL, nL)
-    vR: object | None  # jnp (nR, nR)
+    frameL: object | None  # jnp (L, L)
+    colL: np.ndarray | None  # canonical -> frame column
+    frameR: object | None
+    colR: np.ndarray | None
     ixL: dict | None
     ixR: dict | None
     nL: int
     nR: int
     n_fermion: int
+    L: int
 
     def __post_init__(self):
-        assert (self.vL is None) == (self.ixL is None)
-        assert (self.vR is None) == (self.ixR is None)
-        assert (self.vL is not None) or (self.vR is not None)
+        assert (self.frameL is None) == (self.ixL is None)
+        assert (self.frameR is None) == (self.ixR is None)
+        assert (self.frameL is not None) or (self.frameR is not None)
+
+    @property
+    def vL(self):
+        """Canonical (nL, nL) left eigenvector matrix (materialised)."""
+        if self.frameL is None:
+            return None
+        return self.frameL[: self.nL, jnp.asarray(self.colL)]
+
+    @property
+    def vR(self):
+        """Canonical (nR, nR) right eigenvector matrix (materialised)."""
+        if self.frameR is None:
+            return None
+        return self.frameR[self.L - self.nR :, jnp.asarray(self.colR)]
 
     @property
     def n_entangled(self) -> int:
@@ -172,11 +194,11 @@ class SchmidtModes:
 
     @property
     def vL_entangled(self):
-        return None if self.vL is None else self.vL[:, self.ixL["entangled"]]
+        return None if self.frameL is None else self.vL[:, self.ixL["entangled"]]
 
     @property
     def vR_entangled(self):
-        return None if self.vR is None else self.vR[:, self.ixR["entangled"]]
+        return None if self.frameR is None else self.vR[:, self.ixR["entangled"]]
 
     def mode_vectors(self, which: str, entangled: bool = False):
         w = which[0].upper()
@@ -189,7 +211,7 @@ class SchmidtModes:
     def eigenvalues(self, which: str, entangled: bool = False):
         w = which[0].upper()
         if w == "L":
-            if self.vL is None:
+            if self.frameL is None:
                 return None
             if entangled:
                 return self.e
@@ -198,7 +220,7 @@ class SchmidtModes:
             E[self.ixL["entangled"]] = self.e
             return E
         if w == "R":
-            if self.vR is None:
+            if self.frameR is None:
                 return None
             e = 1 - self.e[::-1]
             if entangled:
@@ -213,7 +235,7 @@ class SchmidtModes:
     def singular_values(self):
         """SVD values of C_LR incl. the (-1)^i anticommutation signs on the
         right singular vectors (reference slater.py:252-268)."""
-        if (self.vL is None) or (self.vR is None):
+        if (self.frameL is None) or (self.frameR is None):
             return None
         SV = (self.e * (1 - self.e)) ** 0.5
         sign = (-1.0) ** (np.arange(SV.size)[::-1])
@@ -233,11 +255,11 @@ class SchmidtModes:
         """Extends subsets over entangled orbitals to occupations of *all*
         orbitals on each side (reference slater.py:430-470)."""
         left_sets = right_sets = None
-        if self.vL is not None:
+        if self.frameL is not None:
             left_sets = np.zeros((len(sets), self.nL), dtype=bool)
             left_sets[:, self.ixL["entangled"]] = sets
             left_sets[:, self.ixL["filled"]] = True
-        if self.vR is not None:
+        if self.frameR is not None:
             right_sets = np.zeros((len(sets), self.nR), dtype=bool)
             right_sets[:, self.ixR["entangled"]] = np.logical_not(sets[:, ::-1])
             right_sets[:, self.ixR["filled"]] = True
@@ -261,11 +283,9 @@ class SchmidtModes:
         n_fermion: int | None = None,
     ) -> "SchmidtModes":
         """Builds SchmidtModes from precomputed block eigendecompositions
-        (the batched path; raw = ascending eigenvalue order as returned by
-        :func:`eigh_blocks`).
-
-        ``vR_raw`` columns/rows live in coordinates x..L-1 of the full
-        matrix already sliced to the block, i.e. shape (nR, nR).
+        (the batched path; ``vL_raw``/``vR_raw`` are FULL (L, L) frames as
+        returned by :func:`eigh_blocks` — block eigenvector columns first,
+        ascending eigenvalue order; block rows leading (L) / trailing (R)).
         """
         trunc_par = to_stopping_condition(trunc_par)
         cutoff = trunc_par.svd_min**2
@@ -273,16 +293,16 @@ class SchmidtModes:
         L = C.shape[0]
         nR = L - x
 
-        vL = ixL = vR = ixR = None
+        frameL = colL = ixL = frameR = colR = ixR = None
         kL = kR = None
         if eL is not None:
-            idx, ixL, kL = _classify_spectrum(eL, cutoff, "L")
-            vL = vL_raw[:, idx]
-            eL_can = eL[idx[ixL["entangled"]]]
+            colL, ixL, kL = _classify_spectrum(eL, cutoff, "L")
+            frameL = vL_raw
+            eL_can = eL[colL[ixL["entangled"]]]
         if eR is not None:
-            idx, ixR, kR = _classify_spectrum(eR, cutoff, "R")
-            vR = vR_raw[:, idx]
-            eR_can = eR[idx[ixR["entangled"]]]
+            colR, ixR, kR = _classify_spectrum(eR, cutoff, "R")
+            frameR = vR_raw
+            eR_can = eR[colR[ixR["entangled"]]]
 
         if eL is None and eR is None:
             raise ValueError("need at least one of the L/R eigendecompositions")
@@ -299,14 +319,12 @@ class SchmidtModes:
                 k_common = max(kL, kR)
                 if kL < k_common:
                     win = _widen_window(eL, cutoff, k_common)
-                    idx, ixL, kL = _classify_spectrum(eL, cutoff, "L", window=win)
-                    vL = vL_raw[:, idx]
-                    eL_can = eL[idx[ixL["entangled"]]]
+                    colL, ixL, kL = _classify_spectrum(eL, cutoff, "L", window=win)
+                    eL_can = eL[colL[ixL["entangled"]]]
                 if kR < k_common:
                     win = _widen_window(eR, cutoff, k_common)
-                    idx, ixR, kR = _classify_spectrum(eR, cutoff, "R", window=win)
-                    vR = vR_raw[:, idx]
-                    eR_can = eR[idx[ixR["entangled"]]]
+                    colR, ixR, kR = _classify_spectrum(eR, cutoff, "R", window=win)
+                    eR_can = eR[colR[ixR["entangled"]]]
             assert kL == kR, "number of entangled modes must match"
             k = kL
             deg_tol = trunc_par.degeneracy_tol
@@ -315,18 +333,21 @@ class SchmidtModes:
                 eL_can + eR_can[::-1], 1.0, rtol=0, atol=deg_tol, err_msg=err
             )
             e = eL_can
-            # complete the SVD pairing of C_LR inside degenerate blocks
+            # complete the SVD pairing of C_LR inside degenerate blocks,
+            # writing the rotated columns back into the frames
             CLR = C[:x, x:]
-            vLE = vL[:, ixL["entangled"]]
-            vRE_rev = vR[:, ixR["entangled"]][:, ::-1]
+            fcL = jnp.asarray(colL[ixL["entangled"]])
+            fcR_rev = jnp.asarray(colR[ixR["entangled"]][::-1].copy())
+            vLE = frameL[:x, fcL]
+            vRE_rev = frameR[x:, fcR_rev]
             vLE, vRE_rev = block_svd(CLR, vLE, vRE_rev, e, deg_tol)
-            vL = vL.at[:, ixL["entangled"]].set(vLE)
-            vRE = vRE_rev[:, ::-1]
+            frameL = frameL.at[:x, fcL].set(vLE)
+            frameR = frameR.at[x:, fcR_rev].set(vRE_rev)
             # extra anticommutation signs on odd entangled right modes
             sign = np.ones(k)
             sign[1::2] = -1
-            vRE = vRE * jnp.asarray(sign)[None, :]
-            vR = vR.at[:, ixR["entangled"]].set(vRE)
+            fcR = jnp.asarray(colR[ixR["entangled"]])
+            frameR = frameR.at[x:, fcR].multiply(jnp.asarray(sign)[None, :])
         elif eL is not None:
             e, k = eL_can, kL
         else:
@@ -342,15 +363,18 @@ class SchmidtModes:
 
         modes = cls(
             e=np.asarray(e, float),
-            vL=vL,
-            vR=vR,
+            frameL=frameL,
+            colL=colL,
+            frameR=frameR,
+            colR=colR,
             ixL=ixL,
             ixR=ixR,
             nL=x,
             nR=nR,
             n_fermion=n_fermion,
+            L=L,
         )
-        if (vL is not None) and (vR is not None):
+        if (frameL is not None) and (frameR is not None):
             check_schmidt_decomposition(modes, np.asarray(C), diag_tol)
         return modes
 
@@ -378,11 +402,11 @@ class SchmidtModes:
         if "L" in which:
             e_all, v_all = eigh_blocks(C, [x], "L")
             eL = np.asarray(e_all[0, :x])
-            vL_raw = v_all[0, :x, :x]
+            vL_raw = v_all[0]
         if "R" in which:
             e_all, v_all = eigh_blocks(C, [L - x], "R")
             eR = np.asarray(e_all[0, : L - x])
-            vR_raw = v_all[0, x:, : L - x]
+            vR_raw = v_all[0]
         return cls.from_eigh(
             C,
             x,
@@ -569,6 +593,70 @@ def _occupation_indices(sets: np.ndarray, width: int, sentinel_base: int):
     return idx.astype(np.int32), counts
 
 
+from functools import partial as _partial
+
+import jax as _jax
+
+
+@_jax.jit
+def _take_frame(batch, i):
+    """batch[i] with a traced index: ONE compiled gather serves every cut
+    (eager integer indexing would bake the index into the executable)."""
+    return batch[i]
+
+
+@_partial(_jax.jit, static_argnames=("kb", "mode"))
+def _site_overlap_kernel(
+    frame_b, frame_k, colb, kindb, rowb, signb, colk, kindk, rowk, signk,
+    *, kb: int, mode: str,
+):
+    """Fused per-site device kernel: select bra/ket orbital columns straight
+    from the (L, L) eigh frames (kind 0), synthesise physical / padding
+    one-hot columns (kind 1) and zero padding columns (kind 2), form the
+    overlap matrix, and factor out the always-occupied block via the
+    Schur-complement identity.  All shapes are bucketed by the caller, so a
+    handful of compiled executables serve every site of a conversion."""
+    L = frame_b.shape[0]
+    rows = jnp.arange(L)
+
+    def build(frame, col, kind, row, sign):
+        g = frame[:, col]  # (L, mb)
+        oh = (rows[:, None] == row[None, :]).astype(frame.dtype)
+        v = jnp.where(kind[None, :] == 0, g, jnp.where(kind[None, :] == 1, oh, 0.0))
+        return v * sign[None, :].astype(frame.dtype)
+
+    vb = build(frame_b, colb, kindb, rowb, signb)
+    vk = build(frame_k, colk, kindk, rowk, signk)
+    O = vb.conj().T @ vk
+
+    if kb == 0:
+        return jnp.ones((), O.dtype), O
+    if mode == "left":
+        det_always, AinvB = gauss_solve_det(O[:kb, :kb], O[:kb, kb:])
+        sometimes = O[kb:, kb:] - O[kb:, :kb] @ AinvB
+    else:
+        det_always, DinvC = gauss_solve_det(O[-kb:, -kb:], O[-kb:, :-kb])
+        sometimes = O[:-kb, :-kb] - O[:-kb, -kb:] @ DinvC
+    return det_always, sometimes
+
+
+@_partial(_jax.jit, static_argnames=("shape",))
+def _fill_kernel(M, det_always, idx_b, idx_k, scat, *, shape):
+    """Fused tensor fill: identity-extend the sometimes matrix, gather the
+    (P_b, w, w) submatrix batch, evaluate determinants (hand-rolled LU,
+    TPU-safe), scale by det_always, scatter into the dense tensor with a
+    trash slot absorbing the batch padding."""
+    from .ops.linalg import block_diag_identity_pad, lu_det
+
+    w = idx_b.shape[1]
+    M_aug = block_diag_identity_pad(M, w)
+    sub = M_aug[idx_b[:, :, None], idx_k[:, None, :]]
+    vals = lu_det(sub) * det_always
+    T = jnp.zeros((shape[0] + 1,) + tuple(shape[1:]), vals.dtype)
+    T = T.at[scat].set(vals)
+    return T[: shape[0]]
+
+
 @dataclass(frozen=True)
 class MPSTensorData:
     """Implicit description of one MPS tensor (or Schmidt-vector overlap
@@ -600,31 +688,46 @@ class MPSTensorData:
         Schmidt_ket: SchmidtVectors,
         mode: str,
     ) -> "MPSTensorData":
+        """Builds the tensor data through the bucketed full-frame site kernel.
+
+        All device work of a site — column selection straight from the
+        (L, L) eigh frames, the physical-orbital one-hot, the overlap matmul
+        and the Schur-complement factorisation — happens inside ONE jitted
+        kernel whose shapes are bucketed, so a handful of executables serve
+        every site of a conversion (essential on TPU, where executables are
+        compiled remotely)."""
         mode = mode.lower()
         if mode not in ("left", "right"):
             raise ValueError("mode must be either 'left' or 'right', got " + repr(mode))
+        side = "L" if mode == "left" else "R"
 
-        v_bra = Schmidt_bra.mode_vectors(mode)
-        assert v_bra is not None, f"`Schmidt_bra` contains no {mode} Schmidt vectors"
+        modes_bra = Schmidt_bra.modes
+        modes_ket = Schmidt_ket.modes
+        frame_bra = modes_bra.frameL if side == "L" else modes_bra.frameR
+        col_bra = modes_bra.colL if side == "L" else modes_bra.colR
+        frame_ket = modes_ket.frameL if side == "L" else modes_ket.frameR
+        col_ket = modes_ket.colL if side == "L" else modes_ket.colR
+        assert frame_bra is not None, f"`Schmidt_bra` contains no {mode} Schmidt vectors"
+        assert frame_ket is not None, f"`Schmidt_ket` contains no {mode} Schmidt vectors"
         sets_bra = Schmidt_bra.sets(mode)
-        v_ket = Schmidt_ket.mode_vectors(mode)
-        assert v_ket is not None, f"`Schmidt_ket` contains no {mode} Schmidt vectors"
         sets_ket = Schmidt_ket.sets(mode)
+        L = modes_bra.L
 
         ns_bra, n_bra = sets_bra.shape
+        n_ket = sets_ket.shape[1]
         bra_beta = np.arange(ns_bra)
         bra_phys = None
+        phys_pos = None  # canonical position of the physical orbital (bra)
 
-        if n_bra == sets_ket.shape[1]:
+        if n_bra == n_ket:
             physical = False
-        elif n_bra + 1 == sets_ket.shape[1]:
+        elif n_bra + 1 == n_ket:
             physical = True
-            z_col = jnp.zeros((n_bra, 1), dtype=v_bra.dtype)
-            z_row = jnp.zeros((1, n_bra), dtype=v_bra.dtype)
-            one = jnp.ones((1, 1), dtype=v_bra.dtype)
             if mode == "left":
-                # physical orbital appended as the LAST bra orbital
-                v_bra = jnp.block([[v_bra, z_col], [z_row, one]])
+                # physical orbital appended as the LAST bra orbital; its
+                # frame row is the site itself (an unused frame coordinate)
+                phys_pos = n_bra
+                phys_row = Schmidt_bra.nL
                 sets_bra = np.block(
                     [
                         [sets_bra, np.zeros((ns_bra, 1), bool)],
@@ -633,7 +736,8 @@ class MPSTensorData:
                 )
             else:
                 # physical orbital prepended as the FIRST bra orbital
-                v_bra = jnp.block([[one, z_row], [z_col, v_bra]])
+                phys_pos = 0
+                phys_row = L - 1 - Schmidt_bra.nR
                 sets_bra = np.block(
                     [
                         [np.zeros((ns_bra, 1), bool), sets_bra],
@@ -646,31 +750,114 @@ class MPSTensorData:
             raise ValueError(
                 f"{mode.capitalize()} sides `Schmidt_bra` and `Schmidt_ket` must "
                 f"match or `Schmidt_bra` must be one bond to the {mode} of "
-                f"`Schmidt_ket`, got lengths {n_bra} and {sets_ket.shape[1]}."
+                f"`Schmidt_ket`, got lengths {n_bra} and {n_ket}."
             )
 
         sets_bra, order_b, sign_b, k_bra = _select_orbitals(sets_bra, mode)
         sets_ket, order_k, sign_k, k_ket = _select_orbitals(sets_ket, mode)
-        v_bra_sel = v_bra[:, jnp.asarray(order_b)] * jnp.asarray(sign_b)[None, :]
-        v_ket_sel = v_ket[:, jnp.asarray(order_k)] * jnp.asarray(sign_k)[None, :]
-
         k = min(k_bra, k_ket)  # square "always" block
-        O = HT(v_bra_sel) @ v_ket_sel
 
-        if k == 0:
-            det_always = jnp.ones((), dtype=O.dtype)
-            sometimes = O
-        elif mode == "left":
-            # det and A^{-1}B in one Gauss-Jordan pass (TPU-safe all dtypes)
-            det_always, AinvB = gauss_solve_det(O[:k, :k], O[:k, k:])
-            sometimes = O[k:, k:] - O[k:, :k] @ AinvB
-            sets_bra = sets_bra[:, k:]
-            sets_ket = sets_ket[:, k:]
+        # ---- bucketed layout: [always(k), padA | rest..., padS(zeros)] ----
+        qk = 1 if L < 32 else min(32, max(8, L // 8))
+        qs = 1 if L < 32 else 8
+        kb = -(-k // qk) * qk if k else 0
+        s_b = len(order_b) - k
+        s_k = len(order_k) - k
+        sb = max(1, -(-max(s_b, s_k) // qs) * qs)
+
+        # shared one-hot rows for the identity padding of the always block:
+        # frame coordinates unused by BOTH frames' blocks
+        n_padA = kb - k
+        if mode == "left":
+            pool = np.arange(L - 1, -1, -1)  # take from the far (right) end
+            lo = max(Schmidt_bra.nL, Schmidt_ket.nL) + (1 if physical else 0)
+            pool = pool[pool >= lo]
         else:
-            det_always, DinvC = gauss_solve_det(O[-k:, -k:], O[-k:, :-k])
-            sometimes = O[:-k, :-k] - O[:-k, -k:] @ DinvC
-            sets_bra = sets_bra[:, :-k]
-            sets_ket = sets_ket[:, :-k]
+            pool = np.arange(L)
+            hi = min(L - Schmidt_bra.nR, L - Schmidt_ket.nR) - (1 if physical else 0)
+            pool = pool[pool < hi]
+        if physical:
+            pool = pool[pool != phys_row]
+        assert len(pool) >= n_padA, "not enough free frame rows for padding"
+        padA_rows = pool[:n_padA]
+
+        def descriptors(order, sign, k_side, col_map, is_bra):
+            """(col, kind, row, sign) device-descriptor arrays of width
+            mb = kb + sb.  kind 0 = frame column, 1 = one-hot(row),
+            2 = zero column.
+
+            Column layout of the overlap matrix:
+            left  mode: [always(k), padA(one-hots) | rest..., padS(zeros)]
+            right mode: [rest..., padS(zeros) | always(k), padA(one-hots)]
+            where rest = (extra always beyond the common k) + sometimes, so
+            the trimmed occupation sets align with the `rest` positions.
+            """
+            mb = kb + sb
+            col = np.zeros(mb, np.int32)
+            kind = np.full(mb, 2, np.int8)
+            row = np.zeros(mb, np.int32)
+            sgn = np.ones(mb, np.float64)
+
+            if mode == "left":
+                # order = [always(k_side), sometimes...]
+                always = order[:k]
+                rest = order[k:]
+                sign_always = sign[:k]
+                sign_rest = sign[k:]
+                apos = np.arange(k)
+                ppos = np.arange(k, kb)
+                rpos = np.arange(kb, kb + len(rest))
+            else:
+                # order = [sometimes..., always(k_side)]; the LAST k always
+                # orbitals form the square block (reference slater.py:1084)
+                always = order[len(order) - k :] if k else order[:0]
+                rest = order[: len(order) - k]
+                sign_always = sign[len(sign) - k :] if k else sign[:0]
+                sign_rest = sign[: len(sign) - k]
+                rpos = np.arange(len(rest))
+                apos = np.arange(sb, sb + k)
+                ppos = np.arange(sb + k, sb + kb)
+
+            def to_frame_col(c):
+                """Canonical sets-column index -> (kind, frame col / row)."""
+                if physical and is_bra:
+                    if c == phys_pos:
+                        return 1, 0, phys_row
+                    if mode == "right":
+                        c = c - 1  # phys occupies sets column 0
+                return 0, int(col_map[c]), 0
+
+            for p, c, s in zip(apos, always, sign_always):
+                kind[p], col[p], row[p] = to_frame_col(int(c))
+                sgn[p] = s
+            for p, c, s in zip(rpos, rest, sign_rest):
+                kind[p], col[p], row[p] = to_frame_col(int(c))
+                sgn[p] = s
+            kind[ppos] = 1
+            row[ppos] = padA_rows
+            return col, kind, row, sgn
+
+        colb, kindb, rowb, sgnb = descriptors(order_b, sign_b, k_bra, col_bra, True)
+        colk, kindk, rowk, sgnk = descriptors(order_k, sign_k, k_ket, col_ket, False)
+
+        det_always, sometimes = _site_overlap_kernel(
+            frame_bra, frame_ket,
+            jnp.asarray(colb), jnp.asarray(kindb), jnp.asarray(rowb), jnp.asarray(sgnb),
+            jnp.asarray(colk), jnp.asarray(kindk), jnp.asarray(rowk), jnp.asarray(sgnk),
+            kb=int(kb), mode=mode,
+        )
+
+        # sets over the sometimes region: [rest..., padS(False)]
+        def region_sets(sets, k_side):
+            if mode == "left":
+                rest = sets[:, k:]  # [extra always, sometimes]
+            else:
+                rest = sets[:, : sets.shape[1] - k]
+            pad = np.zeros((len(rest), sb - rest.shape[1]), bool)
+            return np.concatenate([rest, pad], axis=1)
+
+        sets_bra = region_sets(sets_bra, k_bra)
+        sets_ket = region_sets(sets_ket, k_ket)
 
         qtotal = 0 if mode == "left" else Schmidt_ket.n_fermion - Schmidt_bra.n_fermion
 
@@ -688,23 +875,34 @@ class MPSTensorData:
             qtotal=int(qtotal),
         )
 
-    def _pair_values(self, det_chunk: int | None):
-        """Evaluates det_always * det(sometimes submatrix) for every
-        charge-matching (bra-row, ket-col) pair in one padded batch.
+    def to_dense_tensor(self, det_chunk: int | None = 65536):
+        """The MPS tensor as a dense (chiL, d, chiR) device array with host
+        bond-charge labels (replaces reference ``to_npc_array``,
+        slater.py:1106-1143).
 
-        Returns host arrays (rows, cols, values-as-device-array)."""
+        The whole fill — gathering submatrices, the batched determinants,
+        the det_always scaling and the scatter into the dense tensor — runs
+        as ONE fused jitted kernel with bucketed shapes.
+
+        Returns (tensor, q_left, q_right, qtotal) for physical_leg=True, or
+        (matrix, q_bra, q_ket, qtotal) otherwise.
+        """
+        nb = len(self.q_bra)
+        nk = len(self.q_ket)
+        dtype = self.sometimes_matrix.dtype
+        if self.mode == "left" or not self.physical_leg:
+            q_l, q_r = self.q_bra, self.q_ket
+        else:
+            q_l, q_r = self.q_ket, self.q_bra
+
         cnt_bra = self.sets_bra.sum(axis=1)
         cnt_ket = self.sets_ket.sum(axis=1)
-        m = self.sometimes_matrix.shape[0]
-        m2 = self.sometimes_matrix.shape[1]
+        m = self.sometimes_matrix.shape[0]  # square (bucketed) by layout
         width = int(max(cnt_bra.max(initial=0), cnt_ket.max(initial=0)))
-        # bucket the submatrix width so different sites share one compiled
-        # determinant kernel (padding slots are exact: identity extension)
         width = max(4, -(-width // 4) * 4)
 
-        # index rows once per side
         idx_bra, _ = _occupation_indices(self.sets_bra, width, m)
-        idx_ket, _ = _occupation_indices(self.sets_ket, width, m2)
+        idx_ket, _ = _occupation_indices(self.sets_ket, width, m)
 
         # matched pairs: equal particle count over the sometimes orbitals
         pair_r, pair_c = [], []
@@ -714,81 +912,51 @@ class MPSTensorData:
             if rows.size and cols.size:
                 pair_r.append(np.repeat(rows, cols.size))
                 pair_c.append(np.tile(cols, rows.size))
+
+        if self.physical_leg:
+            shape = (nb, 2, nk) if self.mode == "left" else (nk, 2, nb)
+        else:
+            shape = (nb, nk)
+
         if not pair_r:
-            return np.zeros(0, int), np.zeros(0, int), None, 0
+            return jnp.zeros(shape, dtype=dtype), q_l, q_r, self.qtotal
+
         rows = np.concatenate(pair_r)
         cols = np.concatenate(pair_c)
-
-        # identity-padded batch: note the kernel pads the parent with
-        # max(m, m2)-square identity; sentinel bases must match its layout.
-        # For rectangular `sometimes` (only when k_bra != k_ket), embed into
-        # a square parent first.
-        M = self.sometimes_matrix
-        size = max(m, m2)
-        size = max(8, -(-size // 8) * 8)  # bucket the parent size too
-        if size != m or size != m2:
-            Msq = jnp.zeros((size, size), dtype=M.dtype)
-            M = Msq.at[:m, :m2].set(M)
-            idx_bra = np.where(idx_bra >= m, idx_bra - m + size, idx_bra)
-            idx_ket = np.where(idx_ket >= m2, idx_ket - m2 + size, idx_ket)
-        # bucket the pair count; dummy all-sentinel pairs evaluate to det=1
-        # and are kept in the batch (the scatter later routes them to a trash
-        # row, so the whole fill pipeline has bucketed static shapes)
         P = len(rows)
         P_b = max(256, 1 << int(np.ceil(np.log2(P))))
-        if P_b > P:
-            pad_row = size + np.arange(width, dtype=np.int32)
-            idx_b = np.concatenate(
-                [idx_bra[rows], np.broadcast_to(pad_row, (P_b - P, width))]
-            )
-            idx_k = np.concatenate(
-                [idx_ket[cols], np.broadcast_to(pad_row, (P_b - P, width))]
-            )
-        else:
-            idx_b, idx_k = idx_bra[rows], idx_ket[cols]
-        vals = batched_det_pairs(M, idx_b, idx_k, chunk=det_chunk)
-        vals = vals * self.det_always
-        return rows, cols, vals, P_b
 
-    def to_dense_tensor(self, det_chunk: int | None = 65536):
-        """The MPS tensor as a dense (chiL, d, chiR) device array with host
-        bond-charge labels (replaces reference ``to_npc_array``,
-        slater.py:1106-1143).
-
-        Returns (tensor, q_left, q_right, qtotal) for physical_leg=True, or
-        (matrix, q_bra, q_ket, qtotal) otherwise.
-        """
-        rows, cols, vals, _P_b = self._pair_values(det_chunk)
-        nb = len(self.q_bra)
-        nk = len(self.q_ket)
-        dtype = self.sometimes_matrix.dtype
-        P = len(rows)
-
-        if vals is None:
-            shape = (nb, nk) if not self.physical_leg else (
-                (nb, 2, nk) if self.mode == "left" else (nk, 2, nb)
-            )
-            Z = jnp.zeros(shape, dtype=dtype)
-            if self.mode == "left" or not self.physical_leg:
-                return Z, self.q_bra, self.q_ket, self.qtotal
-            return Z, self.q_ket, self.q_bra, self.qtotal
-
-        if not self.physical_leg:
-            M = scatter_padded(vals, (nb, nk), (self.bra_beta[rows], cols), P, dtype)
-            return M, self.q_bra, self.q_ket, self.qtotal
-        if self.mode == "left":
-            # T[a=bra, n, b=ket]
-            T = scatter_padded(
-                vals, (nb, 2, nk),
-                (self.bra_beta[rows], self.bra_phys[rows], cols), P, dtype,
-            )
-            return T, self.q_bra, self.q_ket, self.qtotal
-        # T[a=ket, n, b=bra]
-        T = scatter_padded(
-            vals, (nk, 2, nb),
-            (cols, self.bra_phys[rows], self.bra_beta[rows]), P, dtype,
+        # padded gather indices (dummies are all-sentinel: det = 1)
+        pad_row = m + np.arange(width, dtype=np.int32)
+        idx_b = np.concatenate(
+            [idx_bra[rows], np.broadcast_to(pad_row, (P_b - P, width))]
         )
-        return T, self.q_ket, self.q_bra, self.qtotal
+        idx_k = np.concatenate(
+            [idx_ket[cols], np.broadcast_to(pad_row, (P_b - P, width))]
+        )
+
+        # padded scatter indices (dummies route to the trash slot shape[0])
+        if not self.physical_leg:
+            ix = (self.bra_beta[rows], cols)
+        elif self.mode == "left":
+            ix = (self.bra_beta[rows], self.bra_phys[rows], cols)
+        else:
+            ix = (cols, self.bra_phys[rows], self.bra_beta[rows])
+        scat = []
+        for ax, arr in enumerate(ix):
+            full = np.full(P_b, shape[0] if ax == 0 else 0, dtype=np.int32)
+            full[:P] = arr
+            scat.append(jnp.asarray(full))
+
+        T = _fill_kernel(
+            self.sometimes_matrix,
+            self.det_always,
+            jnp.asarray(idx_b),
+            jnp.asarray(idx_k),
+            tuple(scat),
+            shape=shape,
+        )
+        return T, q_l, q_r, self.qtotal
 
 
 #### HIGH-LEVEL DRIVERS ####
@@ -842,13 +1010,14 @@ def _schmidt_vectors_batched(
     out = []
     for i, x in enumerate(cuts):
         size = sizes[i]
+        frame = _take_frame(v_all, jnp.asarray(i, jnp.int32))
         if which == "L":
             modes = SchmidtModes.from_eigh(
                 C,
                 x,
                 trunc_par,
                 eL=e_host[i, :size],
-                vL_raw=v_all[i, :size, :size],
+                vL_raw=frame,
                 diag_tol=diag_tol,
                 n_fermion=n_fermion,
             )
@@ -858,7 +1027,7 @@ def _schmidt_vectors_batched(
                 x,
                 trunc_par,
                 eR=e_host[i, :size],
-                vR_raw=v_all[i, x:, :size],
+                vR_raw=frame,
                 diag_tol=diag_tol,
                 n_fermion=n_fermion,
             )
