@@ -713,6 +713,23 @@ class MPSTensorData:
         sets_ket = Schmidt_ket.sets(mode)
         L = modes_bra.L
 
+        # equal-length overlaps between two different chains (iMPS gauge
+        # fixing) bring frames of different sizes; restrict both to the
+        # common row span (all orbital support lives there)
+        Lk = modes_ket.L
+        if Lk != L:
+            Lc = min(L, Lk)
+            if side == "L":
+                frame_bra = frame_bra[:Lc, :]
+                frame_ket = frame_ket[:Lc, :]
+            else:
+                frame_bra = frame_bra[L - Lc :, :]
+                frame_ket = frame_ket[Lk - Lc :, :]
+            # downstream row bookkeeping (phys_row, pad pools) is expressed
+            # relative to L, which in the trailing-slice case equals the
+            # sliced coordinates as well
+            L = Lc
+
         ns_bra, n_bra = sets_bra.shape
         n_ket = sets_ket.shape[1]
         bra_beta = np.arange(ns_bra)
