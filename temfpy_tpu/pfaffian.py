@@ -37,7 +37,7 @@ from .config import DIAG_TOL as _DIAG_TOL
 from .mps import MPS, FermionSite
 from .ops.linalg import block_svd, eigh_blocks, gauss_inverse, scatter_padded
 from .ops.pfaffian import batched_pfaffian_pairs
-from .schmidt_utils import StoppingCondition, lowest_sums, to_stopping_condition
+from .schmidt_utils import lowest_sums, to_stopping_condition
 from . import profiling
 from .testing import (
     assert_allclose,
@@ -1056,9 +1056,14 @@ def C_to_MPS(
     ortho_center: int | None = None,
     unit_cell_width: int | None = None,
     eigh_chunk: int = 32,
+    dtype=None,
 ) -> MPS:
     r"""MPS representation of a Nambu mean-field ground state from its
-    correlation matrix (reference pfaffian.py:1785-1921)."""
+    correlation matrix (reference pfaffian.py:1785-1921).
+
+    ``dtype`` optionally casts the (complex) working precision, e.g.
+    ``jnp.complex64`` — required on TPU backends whose XLA stack cannot
+    compile complex128 (the default inherits the input dtype)."""
     trunc_par = to_stopping_condition(trunc_par)
 
     if basis == "C":
@@ -1068,6 +1073,8 @@ def C_to_MPS(
     C = jnp.asarray(
         assert_nambu_correlation(np.asarray(C), "M", atol=trunc_par.svd_min**2)
     )
+    if dtype is not None:
+        C = C.astype(dtype)
     L = C.shape[0] // 2
 
     if unit_cell_width is None:
@@ -1304,6 +1311,7 @@ def H_to_MPS(
     diag_tol: float = _DIAG_TOL,
     ortho_center: int | None = None,
     unit_cell_width: int | None = None,
+    dtype=None,
 ) -> MPS:
     r"""MPS of the ground state of a BdG single-particle Hamiltonian
     (reference pfaffian.py:2094-2148)."""
@@ -1315,4 +1323,5 @@ def H_to_MPS(
         diag_tol=diag_tol,
         ortho_center=ortho_center,
         unit_cell_width=unit_cell_width,
+        dtype=dtype,
     )

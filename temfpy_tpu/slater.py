@@ -33,14 +33,8 @@ import jax.numpy as jnp
 
 from .config import DIAG_TOL as _DIAG_TOL
 from .mps import MPS, FermionSite
-from .ops.linalg import (
-    batched_det_pairs,
-    block_svd,
-    eigh_blocks,
-    gauss_solve_det,
-    scatter_padded,
-)
-from .schmidt_utils import StoppingCondition, lowest_sums, to_stopping_condition
+from .ops.linalg import block_svd, eigh_blocks, gauss_solve_det
+from .schmidt_utils import lowest_sums, to_stopping_condition
 from . import profiling
 from .testing import assert_allclose, check_schmidt_decomposition
 from .utils import HT, n_slice, normalize_SV
@@ -605,8 +599,7 @@ def _take_frame(batch, i):
     return batch[i]
 
 
-@_partial(_jax.jit, static_argnames=("kb", "mode"))
-def _site_overlap_kernel(
+def _site_overlap_impl(
     frame_b, frame_k, colb, kindb, rowb, signb, colk, kindk, rowk, signk,
     *, kb: int, mode: str,
 ):
@@ -640,8 +633,26 @@ def _site_overlap_kernel(
     return det_always, sometimes
 
 
-@_partial(_jax.jit, static_argnames=("shape",))
-def _fill_kernel(M, det_always, idx_b, idx_k, scat, *, shape):
+_site_overlap_kernel = _partial(_jax.jit, static_argnames=("kb", "mode"))(
+    _site_overlap_impl
+)
+
+
+@_partial(_jax.jit, static_argnames=("kb", "mode"))
+def _site_overlap_group(
+    frames_b, frames_k, colb, kindb, rowb, signb, colk, kindk, rowk, signk,
+    *, kb: int, mode: str,
+):
+    """vmapped :func:`_site_overlap_impl`: evaluates a whole GROUP of sites
+    sharing one shape bucket in a single executable (one dispatch instead of
+    one per site)."""
+    f = _partial(_site_overlap_impl, kb=kb, mode=mode)
+    return _jax.vmap(f)(
+        frames_b, frames_k, colb, kindb, rowb, signb, colk, kindk, rowk, signk
+    )
+
+
+def _fill_impl(M, det_always, idx_b, idx_k, scat, *, shape):
     """Fused tensor fill: identity-extend the sometimes matrix, gather the
     (P_b, w, w) submatrix batch, evaluate determinants (hand-rolled LU,
     TPU-safe), scale by det_always, scatter into the dense tensor with a
@@ -655,6 +666,19 @@ def _fill_kernel(M, det_always, idx_b, idx_k, scat, *, shape):
     T = jnp.zeros((shape[0] + 1,) + tuple(shape[1:]), vals.dtype)
     T = T.at[scat].set(vals)
     return T[: shape[0]]
+
+
+_fill_kernel = _partial(_jax.jit, static_argnames=("shape",))(_fill_impl)
+
+
+@_partial(_jax.jit, static_argnames=("shape",))
+def _fill_group(M, det_always, idx_b, idx_k, scat, *, shape):
+    """vmapped :func:`_fill_impl` over a group of sites sharing one bucket."""
+
+    def f(m, d, ib, ik, *s):
+        return _fill_impl(m, d, ib, ik, tuple(s), shape=shape)
+
+    return _jax.vmap(f)(M, det_always, idx_b, idx_k, *scat)
 
 
 @dataclass(frozen=True)
@@ -688,7 +712,120 @@ class MPSTensorData:
         Schmidt_ket: SchmidtVectors,
         mode: str,
     ) -> "MPSTensorData":
-        """Builds the tensor data through the bucketed full-frame site kernel.
+        """Single-site evaluation (see :func:`evaluate_site_plans` for the
+        grouped multi-site path used by the drivers)."""
+        plan = _plan_site(Schmidt_bra, Schmidt_ket, mode)
+        det_always, sometimes = _site_overlap_kernel(
+            plan["frame_bra"], plan["frame_ket"],
+            *(jnp.asarray(d) for d in plan["desc"]),
+            kb=plan["kb"], mode=plan["fields"]["mode"],
+        )
+        return cls(det_always=det_always, sometimes_matrix=sometimes,
+                   **plan["fields"])
+
+
+    def _plan_fill(self):
+        """Host-side planning of the tensor fill.
+
+        Returns (shape, q_l, q_r, plan) where plan is None when there are no
+        charge-matching pairs, else (idx_b, idx_k, scat) int arrays with
+        bucketed batch length P_b."""
+        nb = len(self.q_bra)
+        nk = len(self.q_ket)
+        if self.mode == "left" or not self.physical_leg:
+            q_l, q_r = self.q_bra, self.q_ket
+        else:
+            q_l, q_r = self.q_ket, self.q_bra
+
+        cnt_bra = self.sets_bra.sum(axis=1)
+        cnt_ket = self.sets_ket.sum(axis=1)
+        m = self.sets_bra.shape[1]  # square (bucketed) sometimes width
+        width = int(max(cnt_bra.max(initial=0), cnt_ket.max(initial=0)))
+        width = max(4, -(-width // 4) * 4)
+
+        idx_bra, _ = _occupation_indices(self.sets_bra, width, m)
+        idx_ket, _ = _occupation_indices(self.sets_ket, width, m)
+
+        # matched pairs: equal particle count over the sometimes orbitals
+        pair_r, pair_c = [], []
+        for c in np.unique(cnt_bra):
+            rows = np.nonzero(cnt_bra == c)[0]
+            cols = np.nonzero(cnt_ket == c)[0]
+            if rows.size and cols.size:
+                pair_r.append(np.repeat(rows, cols.size))
+                pair_c.append(np.tile(cols, rows.size))
+
+        if self.physical_leg:
+            shape = (nb, 2, nk) if self.mode == "left" else (nk, 2, nb)
+        else:
+            shape = (nb, nk)
+
+        if not pair_r:
+            return shape, q_l, q_r, None
+
+        rows = np.concatenate(pair_r)
+        cols = np.concatenate(pair_c)
+        P = len(rows)
+        P_b = max(256, 1 << int(np.ceil(np.log2(P))))
+
+        # padded gather indices (dummies are all-sentinel: det = 1)
+        pad_row = m + np.arange(width, dtype=np.int32)
+        idx_b = np.concatenate(
+            [idx_bra[rows], np.broadcast_to(pad_row, (P_b - P, width))]
+        )
+        idx_k = np.concatenate(
+            [idx_ket[cols], np.broadcast_to(pad_row, (P_b - P, width))]
+        )
+
+        # padded scatter indices (dummies route to the trash slot shape[0])
+        if not self.physical_leg:
+            ix = (self.bra_beta[rows], cols)
+        elif self.mode == "left":
+            ix = (self.bra_beta[rows], self.bra_phys[rows], cols)
+        else:
+            ix = (cols, self.bra_phys[rows], self.bra_beta[rows])
+        scat = []
+        for ax, arr in enumerate(ix):
+            full = np.full(P_b, shape[0] if ax == 0 else 0, dtype=np.int32)
+            full[:P] = arr
+            scat.append(full)
+        return shape, q_l, q_r, (idx_b, idx_k, np.stack(scat))
+
+    def to_dense_tensor(self, det_chunk: int | None = 65536):
+        """The MPS tensor as a dense (chiL, d, chiR) device array with host
+        bond-charge labels (replaces reference ``to_npc_array``,
+        slater.py:1106-1143).
+
+        The whole fill — gathering submatrices, the batched determinants,
+        the det_always scaling and the scatter into the dense tensor — runs
+        as ONE fused jitted kernel with bucketed shapes.
+
+        Returns (tensor, q_left, q_right, qtotal) for physical_leg=True, or
+        (matrix, q_bra, q_ket, qtotal) otherwise.
+        """
+        shape, q_l, q_r, plan = self._plan_fill()
+        if plan is None:
+            Z = jnp.zeros(shape, dtype=self.sometimes_matrix.dtype)
+            return Z, q_l, q_r, self.qtotal
+        idx_b, idx_k, scat = plan
+        T = _fill_kernel(
+            self.sometimes_matrix,
+            self.det_always,
+            jnp.asarray(idx_b),
+            jnp.asarray(idx_k),
+            tuple(jnp.asarray(s) for s in scat),
+            shape=shape,
+        )
+        return T, q_l, q_r, self.qtotal
+
+
+def _plan_site(
+        Schmidt_bra: SchmidtVectors,
+        Schmidt_ket: SchmidtVectors,
+        mode: str,
+):
+        """Host-side planning of one site's tensor build through the
+        bucketed full-frame site kernel.
 
         All device work of a site — column selection straight from the
         (L, L) eigh frames, the physical-orbital one-hot, the overlap matmul
@@ -857,13 +994,6 @@ class MPSTensorData:
         colb, kindb, rowb, sgnb = descriptors(order_b, sign_b, k_bra, col_bra, True)
         colk, kindk, rowk, sgnk = descriptors(order_k, sign_k, k_ket, col_ket, False)
 
-        det_always, sometimes = _site_overlap_kernel(
-            frame_bra, frame_ket,
-            jnp.asarray(colb), jnp.asarray(kindb), jnp.asarray(rowb), jnp.asarray(sgnb),
-            jnp.asarray(colk), jnp.asarray(kindk), jnp.asarray(rowk), jnp.asarray(sgnk),
-            kb=int(kb), mode=mode,
-        )
-
         # sets over the sometimes region: [rest..., padS(False)]
         def region_sets(sets, k_side):
             if mode == "left":
@@ -878,102 +1008,125 @@ class MPSTensorData:
 
         qtotal = 0 if mode == "left" else Schmidt_ket.n_fermion - Schmidt_bra.n_fermion
 
-        return cls(
-            mode=mode,
-            physical_leg=physical,
-            det_always=det_always,
-            sometimes_matrix=sometimes,
-            sets_bra=sets_bra,
-            sets_ket=sets_ket,
-            bra_beta=bra_beta,
-            bra_phys=bra_phys,
-            q_bra=Schmidt_bra.q_left,
-            q_ket=Schmidt_ket.q_left,
-            qtotal=int(qtotal),
+        return {
+            "frame_bra": frame_bra,
+            "frame_ket": frame_ket,
+            "desc": (colb, kindb, rowb, sgnb, colk, kindk, rowk, sgnk),
+            "kb": int(kb),
+            "fields": dict(
+                mode=mode,
+                physical_leg=physical,
+                sets_bra=sets_bra,
+                sets_ket=sets_ket,
+                bra_beta=bra_beta,
+                bra_phys=bra_phys,
+                q_bra=Schmidt_bra.q_left,
+                q_ket=Schmidt_ket.q_left,
+                qtotal=int(qtotal),
+            ),
+        }
+
+
+
+@_jax.jit
+def _unstack(x):
+    """Splits a stacked array into per-entry arrays inside ONE executable
+    (eager per-index slicing would compile one executable per index)."""
+    return tuple(x)
+
+
+def build_site_tensors(pairs):
+    """Evaluates the MPS tensors for many sites with grouped device work.
+
+    ``pairs`` is a list of (Schmidt_bra, Schmidt_ket, mode).  Sites sharing a
+    shape bucket are stacked and evaluated through vmapped kernels — the
+    overlap/Schur stage and the det-batch/scatter fill stage each dispatch
+    once per GROUP instead of once per site (dispatch latency over the TPU
+    tunnel is a first-order cost).
+
+    Returns [(T, q_l, q_r, qtotal)] aligned with ``pairs``.
+    """
+    n = len(pairs)
+    plans = [_plan_site(b, k, m) for (b, k, m) in pairs]
+
+    # ---- stage 1: grouped overlap/Schur ----
+    overlap_groups: dict = {}
+    for i, p in enumerate(plans):
+        key = (
+            p["frame_bra"].shape, p["frame_ket"].shape,
+            len(p["desc"][0]), p["kb"], p["fields"]["mode"],
         )
+        overlap_groups.setdefault(key, []).append(i)
 
-    def to_dense_tensor(self, det_chunk: int | None = 65536):
-        """The MPS tensor as a dense (chiL, d, chiR) device array with host
-        bond-charge labels (replaces reference ``to_npc_array``,
-        slater.py:1106-1143).
-
-        The whole fill — gathering submatrices, the batched determinants,
-        the det_always scaling and the scatter into the dense tensor — runs
-        as ONE fused jitted kernel with bucketed shapes.
-
-        Returns (tensor, q_left, q_right, qtotal) for physical_leg=True, or
-        (matrix, q_bra, q_ket, qtotal) otherwise.
-        """
-        nb = len(self.q_bra)
-        nk = len(self.q_ket)
-        dtype = self.sometimes_matrix.dtype
-        if self.mode == "left" or not self.physical_leg:
-            q_l, q_r = self.q_bra, self.q_ket
+    det_of = [None] * n
+    som_of = [None] * n
+    for key, idxs in overlap_groups.items():
+        kb, mode = key[3], key[4]
+        if len(idxs) == 1:
+            i = idxs[0]
+            p = plans[i]
+            det, som = _site_overlap_kernel(
+                p["frame_bra"], p["frame_ket"],
+                *(jnp.asarray(d) for d in p["desc"]),
+                kb=kb, mode=mode,
+            )
+            det_of[i], som_of[i] = det, som
         else:
-            q_l, q_r = self.q_ket, self.q_bra
+            fb = jnp.stack([plans[i]["frame_bra"] for i in idxs])
+            fk = jnp.stack([plans[i]["frame_ket"] for i in idxs])
+            descs = [
+                jnp.asarray(np.stack([plans[i]["desc"][d] for i in idxs]))
+                for d in range(8)
+            ]
+            det_s, som_s = _site_overlap_group(fb, fk, *descs, kb=kb, mode=mode)
+            for g, i in zip(_unstack(det_s), idxs):
+                det_of[i] = g
+            for g, i in zip(_unstack(som_s), idxs):
+                som_of[i] = g
 
-        cnt_bra = self.sets_bra.sum(axis=1)
-        cnt_ket = self.sets_ket.sum(axis=1)
-        m = self.sometimes_matrix.shape[0]  # square (bucketed) by layout
-        width = int(max(cnt_bra.max(initial=0), cnt_ket.max(initial=0)))
-        width = max(4, -(-width // 4) * 4)
+    # ---- stage 2: grouped fill ----
+    datas = [
+        MPSTensorData(det_always=det_of[i], sometimes_matrix=som_of[i],
+                      **plans[i]["fields"])
+        for i in range(n)
+    ]
+    fill_plans = [d._plan_fill() for d in datas]
+    out = [None] * n
+    fill_groups: dict = {}
+    for i, (shape, q_l, q_r, plan) in enumerate(fill_plans):
+        if plan is None:
+            out[i] = (
+                jnp.zeros(shape, dtype=datas[i].sometimes_matrix.dtype),
+                q_l, q_r, datas[i].qtotal,
+            )
+            continue
+        key = (shape, plan[0].shape, datas[i].sometimes_matrix.shape)
+        fill_groups.setdefault(key, []).append(i)
 
-        idx_bra, _ = _occupation_indices(self.sets_bra, width, m)
-        idx_ket, _ = _occupation_indices(self.sets_ket, width, m)
-
-        # matched pairs: equal particle count over the sometimes orbitals
-        pair_r, pair_c = [], []
-        for c in np.unique(cnt_bra):
-            rows = np.nonzero(cnt_bra == c)[0]
-            cols = np.nonzero(cnt_ket == c)[0]
-            if rows.size and cols.size:
-                pair_r.append(np.repeat(rows, cols.size))
-                pair_c.append(np.tile(cols, rows.size))
-
-        if self.physical_leg:
-            shape = (nb, 2, nk) if self.mode == "left" else (nk, 2, nb)
+    for key, idxs in fill_groups.items():
+        shape = key[0]
+        if len(idxs) == 1:
+            i = idxs[0]
+            _, q_l, q_r, plan = fill_plans[i]
+            T = _fill_kernel(
+                datas[i].sometimes_matrix, datas[i].det_always,
+                jnp.asarray(plan[0]), jnp.asarray(plan[1]),
+                tuple(jnp.asarray(s) for s in plan[2]),
+                shape=shape,
+            )
+            out[i] = (T, q_l, q_r, datas[i].qtotal)
         else:
-            shape = (nb, nk)
-
-        if not pair_r:
-            return jnp.zeros(shape, dtype=dtype), q_l, q_r, self.qtotal
-
-        rows = np.concatenate(pair_r)
-        cols = np.concatenate(pair_c)
-        P = len(rows)
-        P_b = max(256, 1 << int(np.ceil(np.log2(P))))
-
-        # padded gather indices (dummies are all-sentinel: det = 1)
-        pad_row = m + np.arange(width, dtype=np.int32)
-        idx_b = np.concatenate(
-            [idx_bra[rows], np.broadcast_to(pad_row, (P_b - P, width))]
-        )
-        idx_k = np.concatenate(
-            [idx_ket[cols], np.broadcast_to(pad_row, (P_b - P, width))]
-        )
-
-        # padded scatter indices (dummies route to the trash slot shape[0])
-        if not self.physical_leg:
-            ix = (self.bra_beta[rows], cols)
-        elif self.mode == "left":
-            ix = (self.bra_beta[rows], self.bra_phys[rows], cols)
-        else:
-            ix = (cols, self.bra_phys[rows], self.bra_beta[rows])
-        scat = []
-        for ax, arr in enumerate(ix):
-            full = np.full(P_b, shape[0] if ax == 0 else 0, dtype=np.int32)
-            full[:P] = arr
-            scat.append(jnp.asarray(full))
-
-        T = _fill_kernel(
-            self.sometimes_matrix,
-            self.det_always,
-            jnp.asarray(idx_b),
-            jnp.asarray(idx_k),
-            tuple(scat),
-            shape=shape,
-        )
-        return T, q_l, q_r, self.qtotal
+            M = jnp.stack([datas[i].sometimes_matrix for i in idxs])
+            det = jnp.stack([datas[i].det_always for i in idxs])
+            ib = jnp.asarray(np.stack([fill_plans[i][3][0] for i in idxs]))
+            ik = jnp.asarray(np.stack([fill_plans[i][3][1] for i in idxs]))
+            sc = np.stack([fill_plans[i][3][2] for i in idxs])  # (G, naxes, P)
+            scat = tuple(jnp.asarray(sc[:, a]) for a in range(sc.shape[1]))
+            T_s = _fill_group(M, det, ib, ik, scat, shape=shape)
+            for T, i in zip(_unstack(T_s), idxs):
+                _, q_l, q_r, _pl = fill_plans[i]
+                out[i] = (T, q_l, q_r, datas[i].qtotal)
+    return out
 
 
 #### HIGH-LEVEL DRIVERS ####
@@ -1104,15 +1257,14 @@ def C_to_MPS(
     # ---- right half: cuts c+1 .. L, right Schmidt vectors ----
     right_cuts = list(range(c + 1, L + 1))
     right_sv = _schmidt_vectors_batched(C, right_cuts, "R", trunc_par, diag_tol, eigh_chunk)
+    pairs = []
+    sites = []
     Schmidt = Schmidt_center
     for i, Schmidt_new in zip(range(c, L), right_sv):
-        logger.info("Site %d", i)
         lams[i + 1] = normalize_SV(Schmidt_new.schmidt_values, logger)
         q_bonds[i + 1] = Schmidt_new.q_left
-        with profiling.stage("tensor_fill"):
-            data = MPSTensorData.from_schmidt_vectors(Schmidt_new, Schmidt, "right")
-            T, _, _, qt = data.to_dense_tensor()
-        tensors[i] = (T, qt)
+        pairs.append((Schmidt_new, Schmidt, "right"))
+        sites.append(i)
         Schmidt = Schmidt_new
 
     # ---- left half: cuts c-1 .. 0, left Schmidt vectors ----
@@ -1120,14 +1272,17 @@ def C_to_MPS(
     left_sv = _schmidt_vectors_batched(C, left_cuts, "L", trunc_par, diag_tol, eigh_chunk)
     Schmidt = Schmidt_center
     for i, Schmidt_new in zip(range(c - 1, -1, -1), left_sv):
-        logger.info("Site %d", i)
         lams[i] = normalize_SV(Schmidt_new.schmidt_values, logger)
         q_bonds[i] = Schmidt_new.q_left
-        with profiling.stage("tensor_fill"):
-            data = MPSTensorData.from_schmidt_vectors(Schmidt_new, Schmidt, "left")
-            T, _, _, qt = data.to_dense_tensor()
-        tensors[i] = (T, qt)
+        pairs.append((Schmidt_new, Schmidt, "left"))
+        sites.append(i)
         Schmidt = Schmidt_new
+
+    # grouped device evaluation of every site's tensor
+    with profiling.stage("tensor_fill"):
+        results = build_site_tensors(pairs)
+    for i, (T, _ql, _qr, qt) in zip(sites, results):
+        tensors[i] = (T, qt)
 
     form = ["A"] * c + ["B"] * (L - c)
     mps = MPS(
