@@ -21,13 +21,13 @@ import time
 import numpy as np
 
 
-# Measured on this container's CPU (AMD host, JAX CPU backend, x64,
-# warm-compiled second run; see BASELINE.md "Measured baselines"):
+# Measured on this container's CPU (JAX CPU backend, float64, warm-compiled
+# second run, W=8 tight-binding cylinder model below; 2026-08-16, round 1;
+# see BASELINE.md "Measured baselines"):
 CPU_BASELINE_SECONDS = {
     (64, 128): 2.8,
-    (128, 256): 9.6,
-    (256, 512): 77.1,
-    (512, 512): 389.0,
+    (128, 512): 64.7,
+    (256, 512): 639.0,
 }
 
 

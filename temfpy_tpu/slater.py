@@ -1103,6 +1103,18 @@ def build_site_tensors(pairs):
         key = (shape, plan[0].shape, datas[i].sometimes_matrix.shape)
         fill_groups.setdefault(key, []).append(i)
 
+    # cap group size by the TILE-PADDED footprint of the vmapped LU batch:
+    # intermediates are ~(G, P_b, w, w) with the minor dims padded to the
+    # (8, 128) TPU tile, i.e. ~G * P_b * w * 128 * 8 bytes per temp
+    capped: dict = {}
+    for key, idxs in fill_groups.items():
+        P_b, w = key[1]
+        per_site = P_b * w * 128 * 8 * 3  # ~3 temps
+        g_max = max(1, int(2.5e9 // max(per_site, 1)))
+        for j in range(0, len(idxs), g_max):
+            capped[key + (j,)] = idxs[j : j + g_max]
+    fill_groups = capped
+
     for key, idxs in fill_groups.items():
         shape = key[0]
         if len(idxs) == 1:
