@@ -53,6 +53,47 @@ def _eigh_blocks_impl(C, sizes, side):
     return e, v
 
 
+def _eigh_blocks_host(C, sizes, side):
+    """Host-LAPACK fallback with the same padded layout as
+    :func:`_eigh_blocks_impl`.
+
+    Used on TPU backends: the axon v5e QDWH eigh returns NaNs on (near-)
+    projector blocks in batched mode and is only ~1e-6 accurate on exactly
+    degenerate spectra (measured 2026-08-16), while the eigendecompositions
+    are a small fraction of the conversion's work.  Eigenvalues/vectors are
+    bit-compatible with LAPACK on the CPU path.
+    """
+    C_h = np.asarray(C)
+    L = C_h.shape[-1]
+    sizes_h = np.asarray(sizes)
+    n = len(sizes_h)
+    e = np.full((n, L), _PAD_EIGENVALUE, dtype=np.float64)
+    v = np.zeros((n, L, L), dtype=C_h.dtype)
+    for i, x in enumerate(sizes_h):
+        x = int(x)
+        if x == 0:
+            continue
+        blk = C_h[:x, :x] if side == "L" else C_h[L - x :, L - x :]
+        ee, vv = np.linalg.eigh(blk)
+        e[i, :x] = ee
+        if side == "L":
+            v[i, :x, :x] = vv
+        else:
+            v[i, L - x :, :x] = vv
+    return jnp.asarray(e), jnp.asarray(v)
+
+
+def _use_host_eigh() -> bool:
+    import os
+
+    mode = os.environ.get("TEMFPY_TPU_HOST_EIGH", "auto")
+    if mode == "1":
+        return True
+    if mode == "0":
+        return False
+    return jax.default_backend() not in ("cpu",)
+
+
 def eigh_blocks(C, sizes, side: str = "L", chunk: int | None = None):
     """Eigendecompositions of many principal blocks of a Hermitian matrix.
 
@@ -78,6 +119,8 @@ def eigh_blocks(C, sizes, side: str = "L", chunk: int | None = None):
     C = jnp.asarray(C)
     sizes = jnp.asarray(sizes, dtype=jnp.int32)
     assert side in ("L", "R")
+    if _use_host_eigh():
+        return _eigh_blocks_host(C, sizes, side)
     if chunk is None or sizes.shape[0] <= chunk:
         return _eigh_blocks_impl(C, sizes, side)
     es, vs = [], []
