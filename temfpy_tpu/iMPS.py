@@ -27,6 +27,7 @@ from .config import SCHMIDT_TOL as _SCHMIDT_TOL
 from .config import UNITARY_TOL as _UNITARY_TOL
 from .mps import MPS
 from .mps.charged_linalg import charged_svd
+from .ops.linalg import robust_svd
 from .testing import assert_array_less
 
 logger = logging.getLogger(__name__)
@@ -136,7 +137,7 @@ def basis_rotation(
         U, _S, Vh, _q, _err = charged_svd(M, q_bra, q_ket, chinfo, qtotal=qtotal)
         rotation = U @ Vh
     else:
-        U, _S, Vh = jnp.linalg.svd(M, full_matrices=False)
+        U, _S, Vh = robust_svd(M, full_matrices=False)
         rotation = U @ Vh
 
     if (mode, form) in (("left", "A"), ("right", "B")):

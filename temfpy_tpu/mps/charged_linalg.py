@@ -17,6 +17,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from .charges import ChargeInfo
+from ..ops.linalg import robust_qr, robust_svd
 
 
 def _common_sectors(chinfo: ChargeInfo, q_row, q_col, qtotal: int):
@@ -73,7 +74,7 @@ def charged_svd(
     all_svals = []
     for q, rows, cols in sectors:
         blk = M[jnp.asarray(rows)[:, None], jnp.asarray(cols)[None, :]]
-        Ub, Sb, Vhb = jnp.linalg.svd(blk, full_matrices=False)
+        Ub, Sb, Vhb = robust_svd(blk, full_matrices=False)
         Sb_host = np.asarray(Sb)
         q_col_charge = int(chinfo.make_valid(np.asarray(q_col))[cols[0]])
         blocks.append((q_col_charge, rows, cols, Ub, Sb_host, Vhb, Sb, Vhb))
@@ -141,7 +142,7 @@ def charged_qr(M, q_row, q_col, chinfo: ChargeInfo, qtotal: int = 0):
     q_col_valid = chinfo.make_valid(np.asarray(q_col))
     for q, rows, cols in sectors:
         blk = M[jnp.asarray(rows)[:, None], jnp.asarray(cols)[None, :]]
-        Qb, Rb = jnp.linalg.qr(blk, mode="reduced")
+        Qb, Rb = robust_qr(blk)
         k = Qb.shape[1]
         parts.append((rows, cols, Qb, Rb, int(q_col_valid[cols[0]]), k))
         ktot += k

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from ..config import complex_dtype  # noqa: F401  (x64 side effect)
 from .charges import ChargeInfo, NO_CHARGE, sectors_of
 from .charged_linalg import charged_svd, charged_qr
+from ..ops.linalg import robust_eigh, robust_qr, robust_svd
 from .site import Site
 
 logger = logging.getLogger(__name__)
@@ -564,18 +565,18 @@ class MPS:
             T = [Ti * scale for Ti in T]
 
             # factor the fixed points with spectral clipping
-            eR, UR = jnp.linalg.eigh(rho_R)
+            eR, UR = robust_eigh(rho_R)
             eR_h = np.asarray(eR)
             keepR = eR_h > max(cutoff * eR_h.max(), 0.0)
             X = UR[:, keepR] * jnp.sqrt(eR[keepR])[None, :]  # (chi, kR)
             Xp = (1.0 / jnp.sqrt(eR[keepR]))[:, None] * UR[:, keepR].conj().T
 
-            eL, UL = jnp.linalg.eigh(rho_L)
+            eL, UL = robust_eigh(rho_L)
             eL_h = np.asarray(eL)
             keepL = eL_h > max(cutoff * eL_h.max(), 0.0)
             Y = (UL[:, keepL] * jnp.sqrt(eL[keepL])[None, :]).conj().T  # (kL, chi)
 
-            U, S, Vh = jnp.linalg.svd(Y @ X, full_matrices=False)
+            U, S, Vh = robust_svd(Y @ X, full_matrices=False)
             S_host = np.asarray(S)
             keep = S_host > cutoff * S_host.max()
             r = int(keep.sum())
@@ -605,7 +606,7 @@ class MPS:
         for i in reversed(range(1, L)):
             a, d, b = T[i].shape
             M = T[i].reshape(a, d * b)
-            Q_t, R_t = jnp.linalg.qr(M.conj().T, mode="reduced")  # M = R^H Q^H
+            Q_t, R_t = robust_qr(M.conj().T)  # M = R^H Q^H
             T[i] = Q_t.conj().T.reshape(-1, d, b)
             T[i - 1] = jnp.einsum("anb,bc->anc", T[i - 1], R_t.conj().T)
 
@@ -616,7 +617,7 @@ class MPS:
         for i in range(L - 1):
             rho = jnp.einsum("ab,anc,bnd->cd", rho, T[i], T[i].conj())
             rho = (rho + rho.conj().T) / 2
-            e, W = jnp.linalg.eigh(rho)
+            e, W = robust_eigh(rho)
             e_h = np.clip(np.asarray(e), 0.0, None)
             # descending order for conventional Schmidt ordering
             order = jnp.asarray(np.argsort(e_h)[::-1].copy())

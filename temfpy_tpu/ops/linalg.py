@@ -94,6 +94,43 @@ def _use_host_eigh() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+# --------------------------------------------------------------------------
+# Robust decompositions: host-LAPACK routing on TPU backends, where the
+# QDWH-based eigh/SVD are inaccurate (~1e-6) on degenerate spectra and NaN
+# on (near-)projector inputs (measured on axon v5e, 2026-08-16).  These are
+# used for the small, accuracy-critical factorizations (gauge rotations,
+# degenerate-block completions, canonical-form sweeps); the bulk compute
+# stays on device.
+# --------------------------------------------------------------------------
+
+
+def robust_eigh(A):
+    if _use_host_eigh():
+        e, v = np.linalg.eigh(np.asarray(A))
+        return jnp.asarray(e), jnp.asarray(v)
+    return jnp.linalg.eigh(jnp.asarray(A))
+
+
+def robust_svd(A, compute_uv: bool = True, full_matrices: bool = False):
+    if _use_host_eigh():
+        out = np.linalg.svd(
+            np.asarray(A), compute_uv=compute_uv, full_matrices=full_matrices
+        )
+        if compute_uv:
+            return tuple(jnp.asarray(x) for x in out)
+        return jnp.asarray(out)
+    return jnp.linalg.svd(
+        jnp.asarray(A), compute_uv=compute_uv, full_matrices=full_matrices
+    )
+
+
+def robust_qr(A):
+    if _use_host_eigh():
+        q, r = np.linalg.qr(np.asarray(A), mode="reduced")
+        return jnp.asarray(q), jnp.asarray(r)
+    return jnp.linalg.qr(jnp.asarray(A), mode="reduced")
+
+
 def eigh_blocks(C, sizes, side: str = "L", chunk: int | None = None):
     """Eigendecompositions of many principal blocks of a Hermitian matrix.
 
@@ -399,6 +436,7 @@ def block_svd(
     ends = np.concatenate((split + 1, [e.size]))
     mult = ends - starts
 
+    host_svd = _use_host_eigh()  # TPU QDWH SVD is low-accuracy on degeneracies
     for m in np.unique(mult):
         sel = starts[mult == m]
         # (d, m) indices of all degeneracy blocks with multiplicity m
@@ -406,7 +444,11 @@ def block_svd(
         vL_blk = vL[:, idx]  # (K, d, m)
         vR_blk = vR[:, idx]
         s_blk = jnp.einsum("kdi,km,mdj->dij", vL_blk.conj(), CLR, vR_blk)
-        U, _, Vh = jnp.linalg.svd(s_blk)
+        if host_svd:
+            U_h, _, Vh_h = np.linalg.svd(np.asarray(s_blk))
+            U, Vh = jnp.asarray(U_h), jnp.asarray(Vh_h)
+        else:
+            U, _, Vh = jnp.linalg.svd(s_blk)
         vL = vL.at[:, idx].set(jnp.einsum("idk,dkj->idj", vL_blk, U))
         vR = vR.at[:, idx].set(jnp.einsum("idk,djk->idj", vR_blk, Vh.conj()))
 

@@ -35,7 +35,14 @@ import jax.numpy as jnp
 
 from .config import DIAG_TOL as _DIAG_TOL
 from .mps import MPS, FermionSite
-from .ops.linalg import block_svd, eigh_blocks, gauss_inverse, scatter_padded
+from .ops.linalg import (
+    block_svd,
+    eigh_blocks,
+    gauss_inverse,
+    robust_eigh,
+    robust_svd,
+    scatter_padded,
+)
 from .ops.pfaffian import batched_pfaffian_pairs
 from .schmidt_utils import lowest_sums, to_stopping_condition
 from . import profiling
@@ -166,7 +173,7 @@ def correlation_matrix(H, basis: str | None = None, *, rtol: float = 0, atol: fl
     H = assert_nambu_hamiltonian(np.asarray(H), None if basis is None else basis[0], **tol)
     n = len(H) // 2
 
-    e, v = jnp.linalg.eigh(jnp.asarray(H))
+    e, v = robust_eigh(jnp.asarray(H))
     e_host = np.asarray(e)
     assert_allclose(e_host + e_host[::-1], 0, **tol)
     if np.any(abs(e_host) < atol):
@@ -201,7 +208,7 @@ def parity(V, *, tol: float = 1e-12) -> int:
         if np.isclose(abs(val), 1.0, rtol=0, atol=tol):
             return 1
         raise RuntimeError("Invalid 1x1 V")
-    s = np.asarray(jnp.linalg.svd(jnp.asarray(V), compute_uv=False))
+    s = np.asarray(robust_svd(jnp.asarray(V), compute_uv=False))
     if np.all(s < tol):
         return 0  # no pairing at all: the vacuum is the bare vacuum (even)
     if len(V) > 2:
@@ -445,7 +452,7 @@ class SchmidtModes:
                 s_block = (
                     vL[:, ixL].real.T @ CLR.imag @ vR[:, ixR].real
                 )
-                U, _, Vh = jnp.linalg.svd(s_block)
+                U, _, Vh = robust_svd(s_block)
                 vL = vL.at[:, ixL].set(vL[:, ixL] @ U.astype(vL.dtype))
                 vR = vR.at[:, ixR].set(vR[:, ixR] @ Vh.T.astype(vR.dtype))
         elif eL_a is not None:
@@ -735,7 +742,7 @@ def _pfaffian_matrix(V1, V2, sets1, sets2, *, mode, tolerance=1e-8, min_SV=1e-6)
         Vr_host[:L, L:].conj(), Vr_host[L:, :L], rtol=0, atol=tolerance, err_msg=nambu_err
     )
 
-    s = np.asarray(jnp.linalg.svd(Vr[:L, :L], compute_uv=False))
+    s = np.asarray(robust_svd(Vr[:L, :L], compute_uv=False))
     logger.info("Bogoliubov vacuum overlap: %.3e", s.prod())
     assert_array_less(
         min_SV, s, err_msg="Bogoliubov vacua do not overlap (U nearly singular)"

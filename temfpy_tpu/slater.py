@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from .config import DIAG_TOL as _DIAG_TOL
 from .mps import MPS, FermionSite
-from .ops.linalg import block_svd, eigh_blocks, gauss_solve_det
+from .ops.linalg import block_svd, eigh_blocks, gauss_solve_det, robust_eigh
 from .schmidt_utils import lowest_sums, to_stopping_condition
 from . import profiling
 from .testing import assert_allclose, check_schmidt_decomposition
@@ -1149,7 +1149,7 @@ def correlation_matrix(H, N: int | None = None):
     r"""Ground-state correlation matrix C_ij = <c_j^dagger c_i> of a
     mean-field Hamiltonian (reference slater.py:1150-1180); eigh on device."""
     H = jnp.asarray(H)
-    e, v = jnp.linalg.eigh(H)
+    e, v = robust_eigh(H)
     if N is None:
         occupied = np.asarray(e) < 0
         N = int(occupied.sum())
