@@ -40,6 +40,10 @@ def main():
     p.add_argument("--repeat", type=int, default=2)
     p.add_argument("--width", type=int, default=8, help="cylinder circumference")
     p.add_argument("--verbose", action="store_true")
+    p.add_argument(
+        "--profile", action="store_true",
+        help="print a per-stage wall-clock breakdown of each run to stderr",
+    )
     args = p.parse_args()
 
     import os
@@ -99,15 +103,23 @@ def main():
     times = []
     mps = None
     try:
+        from temfpy_tpu import profiling
+        import contextlib
+
         for rep in range(max(2, args.repeat)):
+            prof_cm = profiling.collect() if args.profile else contextlib.nullcontext()
             t0 = time.perf_counter()
-            mps = slater.C_to_MPS(C, {"chi_max": chi})
-            # sync: touch every tensor
-            for B in mps._B:
-                B.block_until_ready()
+            with prof_cm as prof:
+                mps = slater.C_to_MPS(C, {"chi_max": chi})
+                # sync: touch every tensor (async device work lands here)
+                with profiling.stage("device_sync"):
+                    for B in mps._B:
+                        B.block_until_ready()
             times.append(time.perf_counter() - t0)
             if args.verbose:
                 print(f"run {rep}: {times[-1]:.2f}s", file=sys.stderr)
+            if args.profile:
+                print(prof.report(), file=sys.stderr, flush=True)
     except Exception as err:  # never leave the driver without a JSON line
         print(f"bench failed: {err!r}", file=sys.stderr)
         print(

@@ -1047,7 +1047,8 @@ def build_site_tensors(pairs):
     Returns [(T, q_l, q_r, qtotal)] aligned with ``pairs``.
     """
     n = len(pairs)
-    plans = [_plan_site(b, k, m) for (b, k, m) in pairs]
+    with profiling.stage("fill/plan"):
+        plans = [_plan_site(b, k, m) for (b, k, m) in pairs]
 
     # ---- stage 1: grouped overlap/Schur ----
     overlap_groups: dict = {}
@@ -1060,6 +1061,8 @@ def build_site_tensors(pairs):
 
     det_of = [None] * n
     som_of = [None] * n
+    _ov = profiling.stage("fill/overlap_groups")
+    _ov.__enter__()
     for key, idxs in overlap_groups.items():
         kb, mode = key[3], key[4]
         if len(idxs) == 1:
@@ -1084,13 +1087,16 @@ def build_site_tensors(pairs):
             for g, i in zip(_unstack(som_s), idxs):
                 som_of[i] = g
 
+    _ov.__exit__(None, None, None)
+
     # ---- stage 2: grouped fill ----
     datas = [
         MPSTensorData(det_always=det_of[i], sometimes_matrix=som_of[i],
                       **plans[i]["fields"])
         for i in range(n)
     ]
-    fill_plans = [d._plan_fill() for d in datas]
+    with profiling.stage("fill/plan_fill"):
+        fill_plans = [d._plan_fill() for d in datas]
     out = [None] * n
     fill_groups: dict = {}
     for i, (shape, q_l, q_r, plan) in enumerate(fill_plans):
@@ -1115,6 +1121,8 @@ def build_site_tensors(pairs):
             capped[key + (j,)] = idxs[j : j + g_max]
     fill_groups = capped
 
+    _fg = profiling.stage("fill/det_groups")
+    _fg.__enter__()
     for key, idxs in fill_groups.items():
         shape = key[0]
         if len(idxs) == 1:
@@ -1138,6 +1146,7 @@ def build_site_tensors(pairs):
             for T, i in zip(_unstack(T_s), idxs):
                 _, q_l, q_r, _pl = fill_plans[i]
                 out[i] = (T, q_l, q_r, datas[i].qtotal)
+    _fg.__exit__(None, None, None)
     return out
 
 
@@ -1193,26 +1202,27 @@ def _schmidt_vectors_batched(
     for i, x in enumerate(cuts):
         size = sizes[i]
         frame = _take_frame(v_all, jnp.asarray(i, jnp.int32))
-        if which == "L":
-            modes = SchmidtModes.from_eigh(
-                C,
-                x,
-                trunc_par,
-                eL=e_host[i, :size],
-                vL_raw=frame,
-                diag_tol=diag_tol,
-                n_fermion=n_fermion,
-            )
-        else:
-            modes = SchmidtModes.from_eigh(
-                C,
-                x,
-                trunc_par,
-                eR=e_host[i, :size],
-                vR_raw=frame,
-                diag_tol=diag_tol,
-                n_fermion=n_fermion,
-            )
+        with profiling.stage("schmidt_modes"):
+            if which == "L":
+                modes = SchmidtModes.from_eigh(
+                    C,
+                    x,
+                    trunc_par,
+                    eL=e_host[i, :size],
+                    vL_raw=frame,
+                    diag_tol=diag_tol,
+                    n_fermion=n_fermion,
+                )
+            else:
+                modes = SchmidtModes.from_eigh(
+                    C,
+                    x,
+                    trunc_par,
+                    eR=e_host[i, :size],
+                    vR_raw=frame,
+                    diag_tol=diag_tol,
+                    n_fermion=n_fermion,
+                )
         with profiling.stage("schmidt_enumeration"):
             out.append(SchmidtVectors.from_schmidt_modes(modes, trunc_par))
     return out
