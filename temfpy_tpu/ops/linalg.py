@@ -374,10 +374,71 @@ def block_diag_identity_pad(M, pad: int):
     return out
 
 
+# --------------------------------------------------------------------------
+# Submatrix extraction
+#
+# TPU gathers run on the scalar core at ~10 ns/element; extracting the
+# (P, w, w) determinant submatrix batches through XLA gather ops costs more
+# than the LU itself.  Instead the selection is expressed as one-hot matmuls
+# on the MXU: E_b^T M E_k with {0,1}-valued E.  This is EXACT (each output
+# is a single matrix element moved, every dot has at most one nonzero term)
+# provided each f32 pass reproduces the value exactly, which holds with
+# precision='highest' (3-way bf16 operand split covering the full f32
+# mantissa); f64 values are first split into three f32 components
+# (24*3 >= 53 bits, exact), complex into real/imag parts.
+# Measured on v5e (m=128, w=32, P=32k): 684 ms (gather) -> 47 ms, bit-equal.
+# --------------------------------------------------------------------------
+
+
+def _split_f32(M):
+    h1 = M.astype(jnp.float32)
+    r1 = M - h1.astype(M.dtype)
+    h2 = r1.astype(jnp.float32)
+    h3 = (r1 - h2.astype(M.dtype)).astype(jnp.float32)
+    return (h1, h2, h3)
+
+
+def _onehot_select_real(Mr, Eb, Ek, spec_b, spec_k):
+    hs = (Mr,) if Mr.dtype == jnp.float32 else _split_f32(Mr)
+    out = None
+    for h in hs:
+        R = jnp.einsum(spec_b, Eb, h, precision="highest")
+        S = jnp.einsum(spec_k, R, Ek, precision="highest").astype(Mr.dtype)
+        out = S if out is None else out + S
+    return out
+
+
+def _onehot_select(M, idx_b, idx_k, cross: bool):
+    mt = M.shape[0]
+    Eb = jax.nn.one_hot(idx_b, mt, dtype=jnp.float32)
+    Ek = jax.nn.one_hot(idx_k, mt, dtype=jnp.float32)
+    if cross:  # sub[b, k, s, t] = M[idx_b[b, s], idx_k[k, t]]
+        spec_b, spec_k = "bsm,mn->bsn", "bsn,ktn->bkst"
+    else:  # sub[p, s, t] = M[idx_b[p, s], idx_k[p, t]]
+        spec_b, spec_k = "pwm,mn->pwn", "pwn,pvn->pwv"
+    if jnp.iscomplexobj(M):
+        re = _onehot_select_real(M.real, Eb, Ek, spec_b, spec_k)
+        im = _onehot_select_real(M.imag, Eb, Ek, spec_b, spec_k)
+        return jax.lax.complex(re, im).astype(M.dtype)
+    return _onehot_select_real(M, Eb, Ek, spec_b, spec_k)
+
+
+def gather_submatrices(M, idx_b, idx_k, cross: bool = False):
+    """``M[idx_b[..., :, None], idx_k[..., None, :]]`` (``cross=False``:
+    paired rows, giving (P, w, w); ``cross=True``: all row/col-list pairs,
+    giving (nb, nk, w, w)), computed with one-hot MXU matmuls on
+    accelerators and a plain gather on CPU.  Bit-exact on both paths."""
+    if jax.default_backend() == "cpu":
+        if cross:
+            return M[idx_b[:, None, :, None], idx_k[None, :, None, :]]
+        return M[idx_b[:, :, None], idx_k[:, None, :]]
+    return _onehot_select(M, idx_b, idx_k, cross)
+
+
 @jax.jit
 def _det_pairs_impl(M_aug, row_idx, col_idx):
     # sub[p, s, t] = M_aug[row_idx[p, s], col_idx[p, t]]
-    sub = M_aug[row_idx[:, :, None], col_idx[:, None, :]]
+    sub = gather_submatrices(M_aug, row_idx, col_idx)
     return lu_det(sub)
 
 
@@ -411,7 +472,7 @@ def batched_det_pairs(M, row_idx, col_idx, chunk: int | None = None):
 @jax.jit
 def _det_gather_impl(M_aug, bra_idx, ket_idx):
     # sub[i, j, s, t] = M_aug[bra_idx[i, s], ket_idx[j, t]]
-    sub = M_aug[bra_idx[:, None, :, None], ket_idx[None, :, None, :]]
+    sub = gather_submatrices(M_aug, bra_idx, ket_idx, cross=True)
     return lu_det(sub)
 
 

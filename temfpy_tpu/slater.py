@@ -657,11 +657,11 @@ def _fill_impl(M, det_always, idx_b, idx_k, scat, *, shape):
     (P_b, w, w) submatrix batch, evaluate determinants (hand-rolled LU,
     TPU-safe), scale by det_always, scatter into the dense tensor with a
     trash slot absorbing the batch padding."""
-    from .ops.linalg import block_diag_identity_pad, lu_det
+    from .ops.linalg import block_diag_identity_pad, gather_submatrices, lu_det
 
     w = idx_b.shape[1]
     M_aug = block_diag_identity_pad(M, w)
-    sub = M_aug[idx_b[:, :, None], idx_k[:, None, :]]
+    sub = gather_submatrices(M_aug, idx_b, idx_k)
     vals = lu_det(sub) * det_always
     T = jnp.zeros((shape[0] + 1,) + tuple(shape[1:]), vals.dtype)
     T = T.at[scat].set(vals)
@@ -1115,7 +1115,9 @@ def build_site_tensors(pairs):
     capped: dict = {}
     for key, idxs in fill_groups.items():
         P_b, w = key[1]
-        per_site = P_b * w * 128 * 8 * 3  # ~3 temps
+        mt = key[2][0] + w  # identity-extended sometimes width
+        per_site = P_b * w * 128 * 8 * 3  # LU temps (tile-padded)
+        per_site += P_b * w * mt * 4 * 3  # one-hot selection temps (f32)
         g_max = max(1, int(2.5e9 // max(per_site, 1)))
         for j in range(0, len(idxs), g_max):
             capped[key + (j,)] = idxs[j : j + g_max]
