@@ -203,3 +203,66 @@ def test_block_svd_empty():
     C = jnp.zeros((3, 4))
     vL, vR = block_svd(C, np.zeros((3, 0)), np.zeros((4, 0)), np.zeros(0))
     assert vL.shape == (3, 0) and vR.shape == (4, 0)
+
+
+# ---------------------------------------------------------------------------
+# TPU-first batch-last kernels and one-hot submatrix selection
+# (on the CPU test backend these exercise the same code paths the TPU takes;
+# exactness of the one-hot trick is backend-independent: every output element
+# is a single moved value)
+# ---------------------------------------------------------------------------
+
+
+def test_lu_det_batch_last_matches_numpy():
+    from temfpy_tpu.ops.linalg import _lu_det_batch_last
+
+    rng = np.random.default_rng(7)
+    for n in (2, 16, 32):
+        A = rng.normal(size=(40, n, n))
+        got = np.asarray(_lu_det_batch_last(jnp.asarray(A.transpose(1, 2, 0))))
+        ref = np.linalg.det(A)
+        np.testing.assert_allclose(got, ref, rtol=1e-10)
+        Ac = A + 1j * rng.normal(size=A.shape)
+        gotc = np.asarray(_lu_det_batch_last(jnp.asarray(Ac.transpose(1, 2, 0))))
+        np.testing.assert_allclose(gotc, np.linalg.det(Ac), rtol=1e-10)
+
+
+def test_pfaffian_batch_last_matches_host():
+    from temfpy_tpu.ops.pfaffian import _pfaffian_batch_last, pfaffian_numpy
+
+    rng = np.random.default_rng(8)
+    for n in (2, 8, 16):
+        B = rng.normal(size=(30, n, n)) + 1j * rng.normal(size=(30, n, n))
+        A = B - B.transpose(0, 2, 1)
+        got = np.asarray(_pfaffian_batch_last(jnp.asarray(A.transpose(1, 2, 0))))
+        ref = np.array([pfaffian_numpy(a) for a in A])
+        np.testing.assert_allclose(got, ref, rtol=1e-10)
+    # skew matrix with a decoupled zero mode: Pf is exactly 0
+    A = rng.normal(size=(8, 8))
+    A = A - A.T
+    A[3, :] = A[:, 3] = 0.0
+    got = np.asarray(_pfaffian_batch_last(jnp.asarray(A[:, :, None])))
+    assert got[0] == 0.0
+
+
+def test_onehot_select_bit_exact():
+    from temfpy_tpu.ops.linalg import _onehot_select
+
+    rng = np.random.default_rng(9)
+    m, w, P = 37, 6, 50
+    for dtype in (np.float64, np.complex128):
+        M = rng.normal(size=(m, m)).astype(dtype)
+        if np.iscomplexobj(M):
+            M = M + 1j * rng.normal(size=(m, m))
+        ib = rng.integers(0, m, size=(P, w))
+        ik = rng.integers(0, m, size=(P, w))
+        ref = np.asarray(M)[ib[:, :, None], ik[:, None, :]]
+        got = np.asarray(_onehot_select(jnp.asarray(M), jnp.asarray(ib), jnp.asarray(ik), cross=False))
+        assert np.array_equal(got, ref), f"one-hot selection not exact for {dtype}"
+    # cross form
+    M = rng.normal(size=(m, m))
+    ib = rng.integers(0, m, size=(11, w))
+    ik = rng.integers(0, m, size=(13, w))
+    ref = M[ib[:, None, :, None], ik[None, :, None, :]]
+    got = np.asarray(_onehot_select(jnp.asarray(M), jnp.asarray(ib), jnp.asarray(ik), cross=True))
+    assert np.array_equal(got, ref)
