@@ -727,9 +727,14 @@ class MPSTensorData:
     def _plan_fill(self):
         """Host-side planning of the tensor fill.
 
-        Returns (shape, q_l, q_r, plan) where plan is None when there are no
-        charge-matching pairs, else (idx_b, idx_k, scat) int arrays with
-        bucketed batch length P_b."""
+        Returns (shape, q_l, q_r, plans) where plans is a (possibly empty)
+        list of (idx_b, idx_k, scat) int-array triples, one per determinant
+        *width bucket*: pairs in excitation class c only need (c, c)
+        determinants, so classes are grouped by c rounded up to {4, 8, 16,
+        24, ...} instead of all padding to the site maximum — the batched LU
+        cost scales with the true w^3 per class, not max(w)^3.  Each triple
+        carries a bucketed batch length P_b; the partial tensors of one site
+        scatter into disjoint entries and are summed by the caller."""
         nb = len(self.q_bra)
         nk = len(self.q_ket)
         if self.mode == "left" or not self.physical_leg:
@@ -740,56 +745,63 @@ class MPSTensorData:
         cnt_bra = self.sets_bra.sum(axis=1)
         cnt_ket = self.sets_ket.sum(axis=1)
         m = self.sets_bra.shape[1]  # square (bucketed) sometimes width
-        width = int(max(cnt_bra.max(initial=0), cnt_ket.max(initial=0)))
-        width = max(4, -(-width // 4) * 4)
-
-        idx_bra, _ = _occupation_indices(self.sets_bra, width, m)
-        idx_ket, _ = _occupation_indices(self.sets_ket, width, m)
-
-        # matched pairs: equal particle count over the sometimes orbitals
-        pair_r, pair_c = [], []
-        for c in np.unique(cnt_bra):
-            rows = np.nonzero(cnt_bra == c)[0]
-            cols = np.nonzero(cnt_ket == c)[0]
-            if rows.size and cols.size:
-                pair_r.append(np.repeat(rows, cols.size))
-                pair_c.append(np.tile(cols, rows.size))
 
         if self.physical_leg:
             shape = (nb, 2, nk) if self.mode == "left" else (nk, 2, nb)
         else:
             shape = (nb, nk)
 
-        if not pair_r:
-            return shape, q_l, q_r, None
+        # matched pairs (equal particle count over the sometimes orbitals),
+        # grouped into width buckets
+        buckets: dict[int, tuple[list, list]] = {}
+        for c in np.unique(cnt_bra):
+            rows = np.nonzero(cnt_bra == c)[0]
+            cols = np.nonzero(cnt_ket == c)[0]
+            if rows.size and cols.size:
+                w_b = 4 if c <= 4 else -(-int(c) // 8) * 8
+                r_l, c_l = buckets.setdefault(w_b, ([], []))
+                r_l.append(np.repeat(rows, cols.size))
+                c_l.append(np.tile(cols, rows.size))
 
-        rows = np.concatenate(pair_r)
-        cols = np.concatenate(pair_c)
-        P = len(rows)
-        P_b = max(256, 1 << int(np.ceil(np.log2(P))))
+        plans = []
+        for w_b in sorted(buckets):
+            r_l, c_l = buckets[w_b]
+            rows = np.concatenate(r_l)
+            cols = np.concatenate(c_l)
+            P = len(rows)
+            P_b = max(256, 1 << int(np.ceil(np.log2(P))))
 
-        # padded gather indices (dummies are all-sentinel: det = 1)
-        pad_row = m + np.arange(width, dtype=np.int32)
-        idx_b = np.concatenate(
-            [idx_bra[rows], np.broadcast_to(pad_row, (P_b - P, width))]
-        )
-        idx_k = np.concatenate(
-            [idx_ket[cols], np.broadcast_to(pad_row, (P_b - P, width))]
-        )
+            # occupation->index rows computed once per unique bond index
+            ub = np.unique(rows)
+            uk = np.unique(cols)
+            occ_b, _ = _occupation_indices(self.sets_bra[ub], w_b, m)
+            occ_k, _ = _occupation_indices(self.sets_ket[uk], w_b, m)
+            idx_b_rows = occ_b[np.searchsorted(ub, rows)]
+            idx_k_cols = occ_k[np.searchsorted(uk, cols)]
 
-        # padded scatter indices (dummies route to the trash slot shape[0])
-        if not self.physical_leg:
-            ix = (self.bra_beta[rows], cols)
-        elif self.mode == "left":
-            ix = (self.bra_beta[rows], self.bra_phys[rows], cols)
-        else:
-            ix = (cols, self.bra_phys[rows], self.bra_beta[rows])
-        scat = []
-        for ax, arr in enumerate(ix):
-            full = np.full(P_b, shape[0] if ax == 0 else 0, dtype=np.int32)
-            full[:P] = arr
-            scat.append(full)
-        return shape, q_l, q_r, (idx_b, idx_k, np.stack(scat))
+            # padded gather indices (dummies are all-sentinel: det = 1)
+            pad_row = m + np.arange(w_b, dtype=np.int32)
+            idx_b = np.concatenate(
+                [idx_b_rows, np.broadcast_to(pad_row, (P_b - P, w_b))]
+            )
+            idx_k = np.concatenate(
+                [idx_k_cols, np.broadcast_to(pad_row, (P_b - P, w_b))]
+            )
+
+            # padded scatter indices (dummies route to the trash slot shape[0])
+            if not self.physical_leg:
+                ix = (self.bra_beta[rows], cols)
+            elif self.mode == "left":
+                ix = (self.bra_beta[rows], self.bra_phys[rows], cols)
+            else:
+                ix = (cols, self.bra_phys[rows], self.bra_beta[rows])
+            scat = []
+            for ax, arr in enumerate(ix):
+                full = np.full(P_b, shape[0] if ax == 0 else 0, dtype=np.int32)
+                full[:P] = arr
+                scat.append(full)
+            plans.append((idx_b, idx_k, np.stack(scat)))
+        return shape, q_l, q_r, plans
 
     def to_dense_tensor(self, det_chunk: int | None = 65536):
         """The MPS tensor as a dense (chiL, d, chiR) device array with host
@@ -803,19 +815,21 @@ class MPSTensorData:
         Returns (tensor, q_left, q_right, qtotal) for physical_leg=True, or
         (matrix, q_bra, q_ket, qtotal) otherwise.
         """
-        shape, q_l, q_r, plan = self._plan_fill()
-        if plan is None:
+        shape, q_l, q_r, plans = self._plan_fill()
+        if not plans:
             Z = jnp.zeros(shape, dtype=self.sometimes_matrix.dtype)
             return Z, q_l, q_r, self.qtotal
-        idx_b, idx_k, scat = plan
-        T = _fill_kernel(
-            self.sometimes_matrix,
-            self.det_always,
-            jnp.asarray(idx_b),
-            jnp.asarray(idx_k),
-            tuple(jnp.asarray(s) for s in scat),
-            shape=shape,
-        )
+        T = None
+        for idx_b, idx_k, scat in plans:  # disjoint scatters: sum partials
+            Tb = _fill_kernel(
+                self.sometimes_matrix,
+                self.det_always,
+                jnp.asarray(idx_b),
+                jnp.asarray(idx_k),
+                tuple(jnp.asarray(s) for s in scat),
+                shape=shape,
+            )
+            T = Tb if T is None else T + Tb
         return T, q_l, q_r, self.qtotal
 
 
@@ -1098,57 +1112,64 @@ def build_site_tensors(pairs):
     with profiling.stage("fill/plan_fill"):
         fill_plans = [d._plan_fill() for d in datas]
     out = [None] * n
+    acc: dict = {}  # site -> accumulated partial tensor
     fill_groups: dict = {}
-    for i, (shape, q_l, q_r, plan) in enumerate(fill_plans):
-        if plan is None:
+    for i, (shape, q_l, q_r, plans) in enumerate(fill_plans):
+        if not plans:
             out[i] = (
                 jnp.zeros(shape, dtype=datas[i].sometimes_matrix.dtype),
                 q_l, q_r, datas[i].qtotal,
             )
             continue
-        key = (shape, plan[0].shape, datas[i].sometimes_matrix.shape)
-        fill_groups.setdefault(key, []).append(i)
+        for j, plan in enumerate(plans):
+            key = (shape, plan[0].shape, datas[i].sometimes_matrix.shape)
+            fill_groups.setdefault(key, []).append((i, j))
 
     # cap group size by the TILE-PADDED footprint of the vmapped LU batch:
     # intermediates are ~(G, P_b, w, w) with the minor dims padded to the
     # (8, 128) TPU tile, i.e. ~G * P_b * w * 128 * 8 bytes per temp
     capped: dict = {}
-    for key, idxs in fill_groups.items():
+    for key, entries in fill_groups.items():
         P_b, w = key[1]
         mt = key[2][0] + w  # identity-extended sometimes width
         per_site = P_b * w * 128 * 8 * 3  # LU temps (tile-padded)
         per_site += P_b * w * mt * 4 * 3  # one-hot selection temps (f32)
         g_max = max(1, int(2.5e9 // max(per_site, 1)))
-        for j in range(0, len(idxs), g_max):
-            capped[key + (j,)] = idxs[j : j + g_max]
+        for j in range(0, len(entries), g_max):
+            capped[key + (j,)] = entries[j : j + g_max]
     fill_groups = capped
+
+    def _accumulate(i, T):
+        acc[i] = T if i not in acc else acc[i] + T
 
     _fg = profiling.stage("fill/det_groups")
     _fg.__enter__()
-    for key, idxs in fill_groups.items():
+    for key, entries in fill_groups.items():
         shape = key[0]
-        if len(idxs) == 1:
-            i = idxs[0]
-            _, q_l, q_r, plan = fill_plans[i]
+        if len(entries) == 1:
+            i, j = entries[0]
+            plan = fill_plans[i][3][j]
             T = _fill_kernel(
                 datas[i].sometimes_matrix, datas[i].det_always,
                 jnp.asarray(plan[0]), jnp.asarray(plan[1]),
                 tuple(jnp.asarray(s) for s in plan[2]),
                 shape=shape,
             )
-            out[i] = (T, q_l, q_r, datas[i].qtotal)
+            _accumulate(i, T)
         else:
-            M = jnp.stack([datas[i].sometimes_matrix for i in idxs])
-            det = jnp.stack([datas[i].det_always for i in idxs])
-            ib = jnp.asarray(np.stack([fill_plans[i][3][0] for i in idxs]))
-            ik = jnp.asarray(np.stack([fill_plans[i][3][1] for i in idxs]))
-            sc = np.stack([fill_plans[i][3][2] for i in idxs])  # (G, naxes, P)
+            M = jnp.stack([datas[i].sometimes_matrix for i, _ in entries])
+            det = jnp.stack([datas[i].det_always for i, _ in entries])
+            ib = jnp.asarray(np.stack([fill_plans[i][3][j][0] for i, j in entries]))
+            ik = jnp.asarray(np.stack([fill_plans[i][3][j][1] for i, j in entries]))
+            sc = np.stack([fill_plans[i][3][j][2] for i, j in entries])  # (G, naxes, P)
             scat = tuple(jnp.asarray(sc[:, a]) for a in range(sc.shape[1]))
             T_s = _fill_group(M, det, ib, ik, scat, shape=shape)
-            for T, i in zip(_unstack(T_s), idxs):
-                _, q_l, q_r, _pl = fill_plans[i]
-                out[i] = (T, q_l, q_r, datas[i].qtotal)
+            for T, (i, _j) in zip(_unstack(T_s), entries):
+                _accumulate(i, T)
     _fg.__exit__(None, None, None)
+    for i, (shape, q_l, q_r, plans) in enumerate(fill_plans):
+        if out[i] is None:
+            out[i] = (acc[i], q_l, q_r, datas[i].qtotal)
     return out
 
 
