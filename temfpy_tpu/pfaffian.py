@@ -68,12 +68,16 @@ _M2C = np.array([[1, -1j], [1, 1j]]) / 2**0.5
 
 
 def _apply_site_unitary(v, M):
-    """Applies a 2x2 unitary on the per-site Nambu index of the row space."""
-    v = jnp.asarray(v)
+    """Applies a 2x2 unitary on the per-site Nambu index of the row space.
+
+    Host (numpy) implementation: the basis transforms are API-entry
+    conversions of host data, and complex128 contractions must not land on
+    the TPU (complex128 compilation hangs on the current stack)."""
+    v = np.asarray(v)
     n = v.shape[0]
     assert n % 2 == 0, "Got vector(s) of odd size (cannot be Nambu)"
     v = v.reshape(n // 2, 2, *v.shape[1:])
-    v = jnp.einsum("xa...,ca->xc...", v, jnp.asarray(M, complex))
+    v = np.einsum("xa...,ca->xc...", v, np.asarray(M, complex))
     return v.reshape(n, *v.shape[2:])
 
 
@@ -88,12 +92,12 @@ def vector_M2C(v):
 
 
 def _apply_matrix_unitary(H, M):
-    H = jnp.asarray(H)
+    H = np.asarray(H)
     n, m = H.shape
     assert n % 2 == 0 and m % 2 == 0, "Matrix sides must be even (Nambu)"
     H = H.reshape(n // 2, 2, m // 2, 2)
-    Mc = jnp.asarray(M, complex)
-    H = jnp.einsum("xayb,ca,db->xcyd", H, Mc, Mc.conj())
+    Mc = np.asarray(M, complex)
+    H = np.einsum("xayb,ca,db->xcyd", H, Mc, Mc.conj())
     return H.reshape(n, m)
 
 
@@ -183,13 +187,15 @@ def correlation_matrix(H, basis: str | None = None, *, rtol: float = 0, atol: fl
             f"Middle 10 eigenvalues:\n{e_host[n - 5 : n + 5, None]}"
         )
     assert_array_less(e_host[:n], 0, "Lower half of eigenvalues is not all negative")
-    v = v[:, :n]
+    # host contraction: complex128 matmuls hang the TPU compiler, and this is
+    # a one-off O(L^3) API-entry computation
+    v = np.asarray(v)[:, :n]
 
     if basis == "C->M":
         v = vector_C2M(v)
     elif basis == "M->C":
         v = vector_M2C(v)
-    C = np.asarray(v @ HT(v))
+    C = np.asarray(v) @ HT(np.asarray(v))
     C = assert_nambu_correlation(C, None if basis is None else basis[3], **tol)
     return C
 
@@ -1077,11 +1083,12 @@ def C_to_MPS(
         C = matrix_C2M(C)
     elif basis != "M":
         raise ValueError(f"Argument `basis` must be 'M' or 'C', got {basis!r}")
-    C = jnp.asarray(
-        assert_nambu_correlation(np.asarray(C), "M", atol=trunc_par.svd_min**2)
-    )
+    C_host = assert_nambu_correlation(np.asarray(C), "M", atol=trunc_par.svd_min**2)
     if dtype is not None:
-        C = C.astype(dtype)
+        # cast on HOST before upload: even a device_put of complex128 blocks
+        # on the current TPU stack
+        C_host = np.asarray(C_host).astype(dtype)
+    C = jnp.asarray(C_host)
     L = C.shape[0] // 2
 
     if unit_cell_width is None:
