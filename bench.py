@@ -22,12 +22,14 @@ import numpy as np
 
 
 # Measured on this container's CPU (JAX CPU backend, float64, warm-compiled
-# second run, W=8 tight-binding cylinder model below; 2026-08-16, round 1;
-# see BASELINE.md "Measured baselines"):
+# second run, W=8 tight-binding cylinder model below; 2026-08-16, round 1).
+# The host has ONE core shared with the session driver, so CPU wall-clock
+# carries up to ~2-4x contention noise; each entry is the FASTEST (least
+# contended, i.e. most conservative) measurement observed — see BASELINE.md:
 CPU_BASELINE_SECONDS = {
-    (64, 128): 2.8,
+    (64, 128): 1.28,
     (128, 512): 64.7,
-    (256, 512): 639.0,
+    (256, 512): 466.4,
 }
 
 

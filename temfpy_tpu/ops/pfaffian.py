@@ -122,6 +122,107 @@ def _pfaffian_batch_last(A):
     return jnp.where(inversions % 2 == 1, -pf, pf)
 
 
+def _pfaffian_batch_last_split(Ar, Ai):
+    """Split-complex variant of :func:`_pfaffian_batch_last`: the (n, n, P)
+    complex skew-symmetric stack is carried as separate real/imaginary f64
+    planes and every operation is real elementwise arithmetic.
+
+    This is the TPU-ready form of the complex Pfaffian kernel: the current
+    axon v5e runtime cannot device_put complex128 at all and raises
+    UNIMPLEMENTED on most complex64 executables (BASELINE.md platform
+    notes), while real f64 elementwise ops run at full speed.  Returns
+    (pf_real, pf_imag)."""
+    n, _, P = Ar.shape
+    assert n % 2 == 0 and Ai.shape == Ar.shape
+    idx = jnp.arange(n)
+
+    def step(i, carry):
+        Ar, Ai, pfr, pfi, done, order = carry
+        a = jnp.argmax(jnp.where(done, -1, n - idx[:, None]), axis=0)  # (P,)
+        oha = idx[:, None] == a[None, :]
+        ohd = oha.astype(Ar.dtype)
+        colar = jnp.sum(Ar * ohd[None, :, :], axis=1)  # Re A[:, a]
+        colai = jnp.sum(Ai * ohd[None, :, :], axis=1)  # Im A[:, a]
+        mag2 = colar * colar + colai * colai
+        cand = jnp.where(done | oha, -1.0, mag2)
+        b = jnp.argmax(cand, axis=0)
+        ohb = idx[:, None] == b[None, :]
+        ohbd = ohb.astype(Ar.dtype)
+        pivr = jnp.sum(colar * ohbd, axis=0)  # Re A[b, a]
+        pivi = jnp.sum(colai * ohbd, axis=0)
+        # pf *= -A[b, a]
+        pfr, pfi = -(pfr * pivr - pfi * pivi), -(pfr * pivi + pfi * pivr)
+        done = done | oha | ohb
+        den = pivr * pivr + pivi * pivi
+        safe = jnp.where(den == 0, 1.0, den)
+        # u = col_a / A[b, a]
+        ur = jnp.where(done, 0.0, (colar * pivr + colai * pivi) / safe)
+        ui = jnp.where(done, 0.0, (colai * pivr - colar * pivi) / safe)
+        colbr = jnp.sum(Ar * ohbd[None, :, :], axis=1)  # Re A[:, b]
+        colbi = jnp.sum(Ai * ohbd[None, :, :], axis=1)
+        cr = jnp.where(done, 0.0, colbr)
+        ci = jnp.where(done, 0.0, colbi)
+        # A += u c^T - c u^T (complex, expanded)
+        ucr = ur[:, None, :] * cr[None, :, :] - ui[:, None, :] * ci[None, :, :]
+        uci = ur[:, None, :] * ci[None, :, :] + ui[:, None, :] * cr[None, :, :]
+        Ar = Ar + ucr - jnp.swapaxes(ucr, 0, 1)
+        Ai = Ai + uci - jnp.swapaxes(uci, 0, 1)
+        order = order.at[2 * i].set(a.astype(order.dtype))
+        order = order.at[2 * i + 1].set(b.astype(order.dtype))
+        return Ar, Ai, pfr, pfi, done, order
+
+    init = (
+        Ar,
+        Ai,
+        jnp.ones((P,), Ar.dtype),
+        jnp.zeros((P,), Ar.dtype),
+        jnp.zeros((n, P), bool),
+        jnp.zeros((n, P), jnp.int32),
+    )
+    Ar, Ai, pfr, pfi, _, order = jax.lax.fori_loop(0, n // 2, step, init)
+    inversions = jnp.sum(
+        (order[:, None, :] > order[None, :, :])
+        & (idx[:, None, None] < idx[None, :, None]),
+        axis=(0, 1),
+    )
+    sign = jnp.where(inversions % 2 == 1, -1.0, 1.0)
+    return pfr * sign, pfi * sign
+
+
+def batched_pfaffian_split(Ar, Ai, chunk: int | None = None):
+    """Pfaffians of complex skew-symmetric matrices given as separate
+    real/imaginary planes: (..., n, n) + (..., n, n) -> ((...,), (...,)).
+
+    The complex dtype never materialises on the device — this is the entry
+    point for TPU backends without complex support."""
+    Ar = jnp.asarray(Ar)
+    Ai = jnp.asarray(Ai)
+    *batch, n, m = Ar.shape
+    assert n == m and n % 2 == 0 and Ai.shape == Ar.shape
+    fr = Ar.reshape((-1, n, n))
+    fi = Ai.reshape((-1, n, n))
+    if n == 0:
+        one = jnp.ones(fr.shape[0], Ar.dtype).reshape(batch)
+        return one, jnp.zeros_like(one)
+    outs_r, outs_b = [], []
+    nb = fr.shape[0]
+    step = nb if chunk is None else chunk
+    for i in range(0, nb, step):
+        r, b = _pf_split_jit(fr[i : i + step], fi[i : i + step])
+        outs_r.append(r)
+        outs_b.append(b)
+    pr = jnp.concatenate(outs_r) if len(outs_r) > 1 else outs_r[0]
+    pi = jnp.concatenate(outs_b) if len(outs_b) > 1 else outs_b[0]
+    return pr.reshape(batch), pi.reshape(batch)
+
+
+@jax.jit
+def _pf_split_jit(fr, fi):
+    return _pfaffian_batch_last_split(
+        jnp.transpose(fr, (1, 2, 0)), jnp.transpose(fi, (1, 2, 0))
+    )
+
+
 @jax.jit
 def _pfaffian_batch(flat):
     """(B, n, n) batch dispatch: batch-last elementwise kernel on

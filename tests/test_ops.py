@@ -266,3 +266,16 @@ def test_onehot_select_bit_exact():
     ref = M[ib[:, None, :, None], ik[None, :, None, :]]
     got = np.asarray(_onehot_select(jnp.asarray(M), jnp.asarray(ib), jnp.asarray(ik), cross=True))
     assert np.array_equal(got, ref)
+
+
+def test_pfaffian_split_complex_matches_host():
+    from temfpy_tpu.ops.pfaffian import batched_pfaffian_split, pfaffian_numpy
+
+    rng = np.random.default_rng(11)
+    for n in (2, 8, 24):
+        B = rng.normal(size=(25, n, n)) + 1j * rng.normal(size=(25, n, n))
+        A = B - B.transpose(0, 2, 1)
+        pr, pi = batched_pfaffian_split(jnp.asarray(A.real), jnp.asarray(A.imag))
+        got = np.asarray(pr) + 1j * np.asarray(pi)
+        ref = np.array([pfaffian_numpy(a) for a in A])
+        np.testing.assert_allclose(got, ref, rtol=1e-10)
