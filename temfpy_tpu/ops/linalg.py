@@ -299,6 +299,9 @@ def gauss_solve_det(A, B):
     M = jnp.concatenate([A, B], axis=1)
     idx = jnp.arange(n)
 
+    if jax.default_backend() != "cpu":
+        return _gauss_solve_det_implicit(M, n)
+
     def step(k, carry):
         M, det = carry
         col = jnp.where(idx >= k, jnp.abs(M[:, k]), -1.0)
@@ -318,6 +321,46 @@ def gauss_solve_det(A, B):
 
     M, det = jax.lax.fori_loop(0, n, step, (M, jnp.ones((), A.dtype)))
     return det, M[:, n:]
+
+
+def _gauss_solve_det_implicit(M, n):
+    """Gauss-Jordan with *implicit* partial pivoting for accelerators.
+
+    Same elimination as the explicit branch, but rows never move: the pivot
+    row is extracted with a one-hot multiply+reduce (never a dot op — f64
+    dots are software-emulated on TPU) and a ``done`` mask replaces the
+    per-step permutation gather ``M[perm]``, which XLA lowers to O(rows *
+    cols) work per step.  The solution rows are collected from their pivot
+    positions by ONE gather at the end; the determinant sign is the
+    inversion parity of the pivot order."""
+    idx = jnp.arange(n)
+    rone = jnp.ones((), M.dtype)
+
+    def step(k, carry):
+        M, det, done, piv_order = carry
+        colk = jax.lax.dynamic_index_in_dim(M, k, axis=1, keepdims=False)
+        cand = jnp.where(done, -1.0, jnp.abs(colk))
+        p = jnp.argmax(cand)
+        oh = idx == p
+        ohd = oh.astype(M.dtype)
+        piv = jnp.sum(colk * ohd)
+        det = det * piv
+        safe = jnp.where(piv == 0, rone, piv)
+        rowp = jnp.sum(M * ohd[:, None], axis=0) / safe
+        f = jnp.where(oh, 0.0, colk)  # eliminate in ALL other rows (Jordan)
+        M = M - f[:, None] * rowp[None, :]
+        M = jnp.where(oh[:, None], rowp[None, :], M)
+        done = done | oh
+        piv_order = piv_order.at[k].set(p.astype(piv_order.dtype))
+        return M, det, done, piv_order
+
+    init = (M, jnp.ones((), M.dtype), jnp.zeros(n, bool), jnp.zeros(n, jnp.int32))
+    M, det, _, piv_order = jax.lax.fori_loop(0, n, step, init)
+    inversions = jnp.sum(
+        (piv_order[:, None] > piv_order[None, :]) & (idx[:, None] < idx[None, :])
+    )
+    det = jnp.where(inversions % 2 == 1, -det, det)
+    return det, M[piv_order, n:]
 
 
 @jax.jit
