@@ -25,10 +25,12 @@ from __future__ import annotations
 
 import logging
 from dataclasses import dataclass
+from functools import partial
 from typing import Literal, Type
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from .config import DIAG_TOL as _DIAG_TOL
@@ -587,12 +589,7 @@ def _occupation_indices(sets: np.ndarray, width: int, sentinel_base: int):
     return idx.astype(np.int32), counts
 
 
-from functools import partial as _partial
-
-import jax as _jax
-
-
-@_jax.jit
+@jax.jit
 def _take_frame(batch, i):
     """batch[i] with a traced index: ONE compiled gather serves every cut
     (eager integer indexing would bake the index into the executable)."""
@@ -633,12 +630,12 @@ def _site_overlap_impl(
     return det_always, sometimes
 
 
-_site_overlap_kernel = _partial(_jax.jit, static_argnames=("kb", "mode"))(
+_site_overlap_kernel = partial(jax.jit, static_argnames=("kb", "mode"))(
     _site_overlap_impl
 )
 
 
-@_partial(_jax.jit, static_argnames=("kb", "mode"))
+@partial(jax.jit, static_argnames=("kb", "mode"))
 def _site_overlap_group(
     frames_b, frames_k, colb, kindb, rowb, signb, colk, kindk, rowk, signk,
     *, kb: int, mode: str,
@@ -646,8 +643,8 @@ def _site_overlap_group(
     """vmapped :func:`_site_overlap_impl`: evaluates a whole GROUP of sites
     sharing one shape bucket in a single executable (one dispatch instead of
     one per site)."""
-    f = _partial(_site_overlap_impl, kb=kb, mode=mode)
-    return _jax.vmap(f)(
+    f = partial(_site_overlap_impl, kb=kb, mode=mode)
+    return jax.vmap(f)(
         frames_b, frames_k, colb, kindb, rowb, signb, colk, kindk, rowk, signk
     )
 
@@ -668,17 +665,17 @@ def _fill_impl(M, det_always, idx_b, idx_k, scat, *, shape):
     return T[: shape[0]]
 
 
-_fill_kernel = _partial(_jax.jit, static_argnames=("shape",))(_fill_impl)
+_fill_kernel = partial(jax.jit, static_argnames=("shape",))(_fill_impl)
 
 
-@_partial(_jax.jit, static_argnames=("shape",))
+@partial(jax.jit, static_argnames=("shape",))
 def _fill_group(M, det_always, idx_b, idx_k, scat, *, shape):
     """vmapped :func:`_fill_impl` over a group of sites sharing one bucket."""
 
     def f(m, d, ib, ik, *s):
         return _fill_impl(m, d, ib, ik, tuple(s), shape=shape)
 
-    return _jax.vmap(f)(M, det_always, idx_b, idx_k, *scat)
+    return jax.vmap(f)(M, det_always, idx_b, idx_k, *scat)
 
 
 @dataclass(frozen=True)
@@ -1042,7 +1039,7 @@ def _plan_site(
 
 
 
-@_jax.jit
+@jax.jit
 def _unstack(x):
     """Splits a stacked array into per-entry arrays inside ONE executable
     (eager per-index slicing would compile one executable per index)."""
