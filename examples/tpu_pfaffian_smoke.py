@@ -1,8 +1,11 @@
 """TPU smoke test for the Pfaffian (BdG) conversion path.
 
-Runs a small Kitaev chain H -> MPS conversion in complex64 (the TPU XLA
-stack cannot compile complex128 matmuls) and validates the result against
-the CPU/f64 ground truth via correlation-function reconstruction.
+Runs a small Kitaev chain H -> MPS conversion and validates the result
+against the input correlation matrix.  On TPU backends the pipeline runs in
+split-complex mode automatically (complex data never touches the device;
+the basis-change matmuls, the U-block inverse and the Pfaffian fill execute
+as (re, im) f64-plane kernels — see temfpy_tpu.ops.splitc), so the same f64
+precision and cutoffs apply on every backend.
 
 Usage (on the axon TPU):
     PYTHONPATH=/root/.axon_site:/root/repo python examples/tpu_pfaffian_smoke.py
@@ -46,29 +49,15 @@ def main():
     H = kitaev_chain(L, mu=3.0)  # trivial phase: gapped, no Majorana zero mode
     C = pfaffian.correlation_matrix(H, basis="C->M")
 
-    on_tpu = jax.default_backend() not in ("cpu",)
-    if on_tpu:
-        # probe complex support: on the current axon v5e runtime, complex64
-        # executes simple ops but real()/astype/transfer paths raise
-        # UNIMPLEMENTED, and complex128 device_put blocks forever — the
-        # Pfaffian pipeline needs host LAPACK + split-complex device kernels
-        # (round-2 work) before it can run end-to-end on this TPU
-        try:
-            np.asarray(jnp.asarray(np.ones(2, np.complex64)).real)
-        except Exception as err:
-            print(f"complex64 transfer probe failed: {err!r}"[:120], flush=True)
-            print("pfaffian TPU smoke: SKIP (platform complex support "
-                  "unimplemented; CPU path is fully functional)", flush=True)
-            return
-    dtype = jnp.complex64 if on_tpu else None
-    # single precision can't resolve Schmidt values below ~1e-6; cutoffs much
-    # below 1e-6 (lambda ~ 1e-12) approach eigh noise in classification
-    svd_min = 1e-5 if on_tpu else 1e-6
+    from temfpy_tpu.config import complex_on_device
+
+    mode = "device-complex" if complex_on_device() else "split-complex (re/im planes)"
+    print(f"complex mode: {mode}", flush=True)
+    svd_min = 1e-6
     t0 = time.perf_counter()
-    psi = pfaffian.C_to_MPS(C, {"chi_max": 128, "svd_min": svd_min}, basis="M",
-                            dtype=dtype)
+    psi = pfaffian.C_to_MPS(C, {"chi_max": 128, "svd_min": svd_min}, basis="M")
     t1 = time.perf_counter()
-    print(f"C_to_MPS (L={L}, dtype={dtype}): {t1 - t0:.2f}s", flush=True)
+    print(f"C_to_MPS (L={L}): {t1 - t0:.2f}s", flush=True)
 
     # reconstruct <c^dag_i c_j> from the MPS and compare with C
     C_C = np.asarray(pfaffian.matrix_M2C(C))
@@ -82,9 +71,8 @@ def main():
 
     print(f"max |<n_i> - ref| = {dev_n:.3e}", flush=True)
     print(f"max |<cd_0 c_j> - ref| = {dev_c:.3e}", flush=True)
-    # deviation is truncation-limited (empirically ~0.1 * svd_min) in f64,
-    # precision-limited in c64
-    tol = 1e-3 if dtype == jnp.complex64 else 10 * svd_min
+    # deviation is truncation-limited (empirically ~0.1 * svd_min)
+    tol = 10 * svd_min
     status = "PASS" if max(dev_n, dev_c) < tol else "FAIL"
     print(f"pfaffian TPU smoke: {status}", flush=True)
 

@@ -56,6 +56,23 @@ SCHMIDT_TOL = 1e-6
 NUMERICAL_TOL = 1e-14
 
 
+def complex_on_device() -> bool:
+    """Whether complex dtypes are usable on the default jax backend.
+
+    The axon TPU v5e runtime cannot ``device_put`` complex128 and raises
+    UNIMPLEMENTED on most complex64 executables (BASELINE.md platform notes),
+    so on TPU backends the library keeps complex data on the host and runs
+    device compute in split-complex (re, im) f64 planes.  Override with
+    ``TEMFPY_TPU_DEVICE_COMPLEX=0/1``.
+    """
+    mode = os.environ.get("TEMFPY_TPU_DEVICE_COMPLEX", "auto")
+    if mode == "1":
+        return True
+    if mode == "0":
+        return False
+    return jax.default_backend() in ("cpu", "gpu")
+
+
 def set_dtype(dtype) -> None:
     """Sets the working real dtype; the complex dtype follows."""
     global real_dtype, complex_dtype

@@ -29,13 +29,21 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from ..config import complex_dtype  # noqa: F401  (x64 side effect)
+from ..config import complex_dtype, complex_on_device  # noqa: F401  (x64 side effect)
 from .charges import ChargeInfo, NO_CHARGE, sectors_of
 from .charged_linalg import charged_svd, charged_qr
 from ..ops.linalg import robust_eigh, robust_qr, robust_svd
 from .site import Site
 
 logger = logging.getLogger(__name__)
+
+
+def _as_tensor(B):
+    """Device tensor, except complex tensors stay host numpy on backends
+    without device complex support (TPU: complex128 device_put blocks)."""
+    if np.iscomplexobj(B) and not complex_on_device():
+        return np.asarray(B)
+    return jnp.asarray(B)
 
 
 class MPS:
@@ -56,7 +64,7 @@ class MPS:
     ):
         self.sites = list(sites)
         L = len(self.sites)
-        self._B = [jnp.asarray(B) for B in Bs]
+        self._B = [_as_tensor(B) for B in Bs]
         assert len(self._B) == L, "need one tensor per site"
         if isinstance(form, str):
             form = [form] * L
@@ -152,7 +160,9 @@ class MPS:
             raise ValueError(f"Schmidt values on bond {i} unknown")
         if inverse:
             S = np.where(S > cutoff, 1.0 / np.maximum(S, cutoff), 0.0)
-        return jnp.asarray(S)
+        # host array: broadcasting follows the tensor's own backend (jnp for
+        # real device tensors, numpy for complex host tensors on TPU)
+        return np.asarray(S)
 
     def get_B(self, i: int, form: str = "B"):
         """Site tensor in the requested canonical form ('A', 'B', 'Th', 'G').
@@ -214,18 +224,23 @@ class MPS:
     def _env_update(E, Tb, Tk, op=None):
         """E' = Tb^dagger E Tk with optional on-site operator on the ket.
 
-        E has legs (bra_chi, ket_chi)."""
+        E has legs (bra_chi, ket_chi).  Host numpy: this is the oracle /
+        validation contraction path (finite two-point functions, overlaps),
+        which must handle complex tensors on complex-incapable backends and
+        is dominated by per-pair dispatch overhead on device anyway."""
+        Tb = np.asarray(Tb)
+        Tk = np.asarray(Tk)
         if op is not None:
-            Tk = jnp.einsum("mn,anb->amb", jnp.asarray(op, dtype=Tk.dtype), Tk)
-        tmp = jnp.einsum("ab,bnc->anc", E, Tk)
-        return jnp.einsum("and,anc->dc", Tb.conj(), tmp)
+            Tk = np.einsum("mn,anb->amb", np.asarray(op).astype(Tk.dtype), Tk)
+        tmp = np.einsum("ab,bnc->anc", E, Tk)
+        return np.einsum("and,anc->dc", Tb.conj(), tmp)
 
     def overlap(self, other: "MPS") -> complex:
         """<self|other> for finite MPS of equal length."""
         assert self.finite and other.finite and self.L == other.L
-        Gb = self.exact_tensors()
-        Gk = other.exact_tensors()
-        E = jnp.ones((1, 1), dtype=Gk[0].dtype)
+        Gb = [np.asarray(t) for t in self.exact_tensors()]
+        Gk = [np.asarray(t) for t in other.exact_tensors()]
+        E = np.ones((1, 1), dtype=Gk[0].dtype)
         for Tb, Tk in zip(Gb, Gk):
             E = self._env_update(E, Tb, Tk)
         return complex(E[0, 0])
@@ -234,12 +249,12 @@ class MPS:
         """Dense state vector (first site is the most significant index);
         for small finite systems (tests/oracles)."""
         assert self.finite
-        G = self.exact_tensors()
-        psi = jnp.ones((1, 1), dtype=G[0].dtype)  # (phys_so_far, chi)
+        G = [np.asarray(t) for t in self.exact_tensors()]
+        psi = np.ones((1, 1), dtype=G[0].dtype)  # (phys_so_far, chi)
         for T in G:
-            psi = jnp.einsum("pa,anb->pnb", psi, T)
+            psi = np.einsum("pa,anb->pnb", psi, T)
             psi = psi.reshape(psi.shape[0] * psi.shape[1], psi.shape[2])
-        return np.asarray(psi[:, 0])
+        return psi[:, 0]
 
     def norm_squared(self) -> float:
         return float(np.real(self.overlap(self)))
@@ -247,17 +262,17 @@ class MPS:
     def expectation_value(self, op_name: str, sites=None) -> np.ndarray:
         """Per-site expectation values <op_i> (finite)."""
         assert self.finite
-        G = self.exact_tensors()
+        G = [np.asarray(t) for t in self.exact_tensors()]
         if sites is None:
             sites = range(self.L)
         # left and right plain environments
-        Ls = [jnp.ones((1, 1), dtype=G[0].dtype)]
+        Ls = [np.ones((1, 1), dtype=G[0].dtype)]
         for T in G:
             Ls.append(self._env_update(Ls[-1], T, T))
-        Rs = [jnp.ones((1, 1), dtype=G[0].dtype)]
+        Rs = [np.ones((1, 1), dtype=G[0].dtype)]
         for T in reversed(G):
             Rs.append(
-                jnp.einsum("anb,dnc,bc->ad", T.conj(), T, Rs[-1]).conj().T.conj()
+                np.einsum("anb,dnc,bc->ad", T.conj(), T, Rs[-1]).conj().T.conj()
             )
         Rs = Rs[::-1]
         out = []
@@ -265,7 +280,7 @@ class MPS:
             op = self.sites[i].get_op(op_name)
             Ti = G[i]
             E = self._env_update(Ls[i], Ti, Ti, op=op)
-            out.append(complex(jnp.einsum("ab,ab->", E, Rs[i + 1].conj())))
+            out.append(complex(np.einsum("ab,ab->", E, Rs[i + 1].conj())))
         vals = np.asarray(out)
         return vals
 
@@ -277,21 +292,21 @@ class MPS:
         """
         assert self.finite
         L = self.L
-        G = self.exact_tensors()
+        G = [np.asarray(t) for t in self.exact_tensors()]
         dtype = G[0].dtype
 
         # plain environments
-        Ls = [jnp.ones((1, 1), dtype=dtype)]
+        Ls = [np.ones((1, 1), dtype=dtype)]
         for T in G:
             Ls.append(self._env_update(Ls[-1], T, T))
         Rs = [None] * (L + 1)
-        Rs[L] = jnp.ones((1, 1), dtype=dtype)
+        Rs[L] = np.ones((1, 1), dtype=dtype)
         for i in reversed(range(L)):
             T = G[i]
-            Rs[i] = jnp.einsum("anb,cnd,bd->ac", T.conj(), T, Rs[i + 1])
+            Rs[i] = np.einsum("anb,cnd,bd->ac", T.conj(), T, Rs[i + 1])
 
         def close(E, i):
-            return complex(jnp.einsum("ab,ab->", E, Rs[i]))
+            return complex(np.einsum("ab,ab->", E, Rs[i]))
 
         result = np.zeros((L, L), dtype=complex)
         needs_jw = [

@@ -23,7 +23,19 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..config import complex_dtype, real_dtype  # noqa: F401  (x64 side effect)
+from ..config import (  # noqa: F401  (x64 side effect)
+    complex_dtype,
+    complex_on_device,
+    real_dtype,
+)
+
+
+def _maybe_device(x):
+    """jnp.asarray, except complex host arrays stay on the host when the
+    backend cannot hold complex dtypes (TPU: complex128 device_put blocks)."""
+    if np.iscomplexobj(x) and not complex_on_device():
+        return np.asarray(x)
+    return jnp.asarray(x)
 
 
 # --------------------------------------------------------------------------
@@ -80,7 +92,7 @@ def _eigh_blocks_host(C, sizes, side):
             v[i, :x, :x] = vv
         else:
             v[i, L - x :, :x] = vv
-    return jnp.asarray(e), jnp.asarray(v)
+    return _maybe_device(e), _maybe_device(v)
 
 
 def _use_host_eigh() -> bool:
@@ -105,29 +117,29 @@ def _use_host_eigh() -> bool:
 
 
 def robust_eigh(A):
-    if _use_host_eigh():
+    if _use_host_eigh() or (np.iscomplexobj(A) and not complex_on_device()):
         e, v = np.linalg.eigh(np.asarray(A))
-        return jnp.asarray(e), jnp.asarray(v)
+        return _maybe_device(e), _maybe_device(v)
     return jnp.linalg.eigh(jnp.asarray(A))
 
 
 def robust_svd(A, compute_uv: bool = True, full_matrices: bool = False):
-    if _use_host_eigh():
+    if _use_host_eigh() or (np.iscomplexobj(A) and not complex_on_device()):
         out = np.linalg.svd(
             np.asarray(A), compute_uv=compute_uv, full_matrices=full_matrices
         )
         if compute_uv:
-            return tuple(jnp.asarray(x) for x in out)
-        return jnp.asarray(out)
+            return tuple(_maybe_device(x) for x in out)
+        return _maybe_device(out)
     return jnp.linalg.svd(
         jnp.asarray(A), compute_uv=compute_uv, full_matrices=full_matrices
     )
 
 
 def robust_qr(A):
-    if _use_host_eigh():
+    if _use_host_eigh() or (np.iscomplexobj(A) and not complex_on_device()):
         q, r = np.linalg.qr(np.asarray(A), mode="reduced")
-        return jnp.asarray(q), jnp.asarray(r)
+        return _maybe_device(q), _maybe_device(r)
     return jnp.linalg.qr(jnp.asarray(A), mode="reduced")
 
 
@@ -153,11 +165,11 @@ def eigh_blocks(C, sizes, side: str = "L", chunk: int | None = None):
     v: (ncuts, L, L) eigenvectors (columns).  For side "L" block vectors live
        in coordinates 0..x-1; for side "R", in coordinates L-x..L-1.
     """
-    C = jnp.asarray(C)
     sizes = jnp.asarray(sizes, dtype=jnp.int32)
     assert side in ("L", "R")
-    if _use_host_eigh():
+    if _use_host_eigh() or (np.iscomplexobj(C) and not complex_on_device()):
         return _eigh_blocks_host(C, sizes, side)
+    C = jnp.asarray(C)
     if chunk is None or sizes.shape[0] <= chunk:
         return _eigh_blocks_impl(C, sizes, side)
     es, vs = [], []
@@ -583,6 +595,10 @@ def block_svd(
     """
     e = np.asarray(e)
     assert vL.shape[1] == vR.shape[1] == e.size, "eigenvalue/vector count mismatch"
+    if not complex_on_device() and any(
+        np.iscomplexobj(a) for a in (CLR, vL, vR)
+    ):
+        return _block_svd_host(CLR, vL, vR, e, degeneracy_tol)
     CLR = jnp.asarray(CLR)
     dtype = jnp.result_type(CLR, vL, vR)
     vL = jnp.asarray(vL, dtype)
@@ -615,4 +631,30 @@ def block_svd(
         vL = vL.at[:, idx].set(jnp.einsum("idk,dkj->idj", vL_blk, U))
         vR = vR.at[:, idx].set(jnp.einsum("idk,djk->idj", vR_blk, Vh.conj()))
 
+    return vL, vR
+
+
+def _block_svd_host(CLR, vL, vR, e, degeneracy_tol):
+    """Host-numpy branch of :func:`block_svd` for complex inputs on backends
+    without device complex support (same grouping and rotations)."""
+    CLR = np.asarray(CLR)
+    dtype = np.result_type(CLR, vL, vR)
+    vL = np.array(vL, dtype)
+    vR = np.array(vR, dtype)
+    e = np.asarray(e)
+    if e.size == 0:
+        return vL, vR
+    (split,) = np.nonzero(np.abs(np.diff(e)) > degeneracy_tol)
+    starts = np.concatenate(([0], split + 1))
+    ends = np.concatenate((split + 1, [e.size]))
+    mult = ends - starts
+    for m in np.unique(mult):
+        sel = starts[mult == m]
+        idx = sel[:, None] + np.arange(m)[None, :]
+        vL_blk = vL[:, idx]  # (K, d, m)
+        vR_blk = vR[:, idx]
+        s_blk = np.einsum("kdi,km,mdj->dij", vL_blk.conj(), CLR, vR_blk)
+        U, _, Vh = np.linalg.svd(s_blk)
+        vL[:, idx] = np.einsum("idk,dkj->idj", vL_blk, U)
+        vR[:, idx] = np.einsum("idk,djk->idj", vR_blk, Vh.conj())
     return vL, vR

@@ -283,6 +283,52 @@ def _pf_pairs_impl(N_aug, idx):
     return _pfaffian_batch(sub)
 
 
+@jax.jit
+def _pf_pairs_split_impl(Nr_aug, Ni_aug, idx):
+    from .linalg import gather_submatrices
+
+    sub_r = gather_submatrices(Nr_aug, idx, idx)
+    sub_i = gather_submatrices(Ni_aug, idx, idx)
+    return _pfaffian_batch_last_split(
+        jnp.transpose(sub_r, (1, 2, 0)), jnp.transpose(sub_i, (1, 2, 0))
+    )
+
+
+def batched_pfaffian_pairs_split(Nr, Ni, idx, pad_slots: int, chunk: int | None = None):
+    """Split-complex variant of :func:`batched_pfaffian_pairs`: the parent
+    matrix is given as (re, im) device planes and the Pfaffians come back as
+    (re, im) device vectors — the TPU entry point of the Pfaffian tensor
+    fill (complex never materialises on device).  The symplectic J-block
+    padding lives entirely on the real plane."""
+    Nr = jnp.asarray(Nr)
+    Ni = jnp.asarray(Ni)
+    idx = jnp.asarray(idx, dtype=jnp.int32)
+    w = idx.shape[1]
+    if w == 0:
+        one = jnp.ones((idx.shape[0],), dtype=Nr.dtype)
+        return one, jnp.zeros_like(one)
+    assert w % 2 == 0, "total index count per row must be even"
+    if pad_slots:
+        Nr_aug = symplectic_pad(Nr, pad_slots)
+        m = Ni.shape[-1]
+        Ni_aug = jnp.zeros(
+            Ni.shape[:-2] + (m + pad_slots, m + pad_slots), dtype=Ni.dtype
+        ).at[..., :m, :m].set(Ni)
+    else:
+        Nr_aug, Ni_aug = Nr, Ni
+    P = idx.shape[0]
+    if chunk is None or P <= chunk:
+        return _pf_pairs_split_impl(Nr_aug, Ni_aug, idx)
+    outs = [
+        _pf_pairs_split_impl(Nr_aug, Ni_aug, idx[i : i + chunk])
+        for i in range(0, P, chunk)
+    ]
+    return (
+        jnp.concatenate([o[0] for o in outs]),
+        jnp.concatenate([o[1] for o in outs]),
+    )
+
+
 def batched_pfaffian_pairs(N, idx, pad_slots: int, chunk: int | None = None):
     """Pfaffians ``Pf(N[idx[p], idx[p]])`` for a flat list of index rows.
 

@@ -33,8 +33,9 @@ from scipy.stats import ortho_group
 
 import jax.numpy as jnp
 
-from .config import DIAG_TOL as _DIAG_TOL
+from .config import DIAG_TOL as _DIAG_TOL, complex_on_device
 from .mps import MPS, FermionSite
+from .ops import splitc
 from .ops.linalg import (
     block_svd,
     eigh_blocks,
@@ -43,9 +44,9 @@ from .ops.linalg import (
     robust_svd,
     scatter_padded,
 )
-from .ops.pfaffian import batched_pfaffian_pairs
+from .ops.pfaffian import batched_pfaffian_pairs, batched_pfaffian_pairs_split
 from .schmidt_utils import lowest_sums, to_stopping_condition
-from . import profiling
+from . import profiling, testing
 from .testing import (
     assert_allclose,
     assert_array_less,
@@ -177,8 +178,9 @@ def correlation_matrix(H, basis: str | None = None, *, rtol: float = 0, atol: fl
     H = assert_nambu_hamiltonian(np.asarray(H), None if basis is None else basis[0], **tol)
     n = len(H) // 2
 
-    e, v = robust_eigh(jnp.asarray(H))
-    e_host = np.asarray(e)
+    # host LAPACK: H is complex in general (device complex is unavailable on
+    # TPU) and this is a one-off O(L^3) API-entry computation
+    e_host, v = np.linalg.eigh(H)
     assert_allclose(e_host + e_host[::-1], 0, **tol)
     if np.any(abs(e_host) < atol):
         raise RuntimeError(
@@ -187,9 +189,7 @@ def correlation_matrix(H, basis: str | None = None, *, rtol: float = 0, atol: fl
             f"Middle 10 eigenvalues:\n{e_host[n - 5 : n + 5, None]}"
         )
     assert_array_less(e_host[:n], 0, "Lower half of eigenvalues is not all negative")
-    # host contraction: complex128 matmuls hang the TPU compiler, and this is
-    # a one-off O(L^3) API-entry computation
-    v = np.asarray(v)[:, :n]
+    v = v[:, :n]
 
     if basis == "C->M":
         v = vector_C2M(v)
@@ -214,7 +214,7 @@ def parity(V, *, tol: float = 1e-12) -> int:
         if np.isclose(abs(val), 1.0, rtol=0, atol=tol):
             return 1
         raise RuntimeError("Invalid 1x1 V")
-    s = np.asarray(robust_svd(jnp.asarray(V), compute_uv=False))
+    s = np.linalg.svd(np.asarray(V), compute_uv=False)
     if np.all(s < tol):
         return 0  # no pairing at all: the vacuum is the bare vacuum (even)
     if len(V) > 2:
@@ -370,7 +370,12 @@ class SchmidtModes:
         cutoff = trunc_par.svd_min**2
         deg_tol = trunc_par.degeneracy_tol
 
-        C_M = jnp.asarray(C_M)
+        # The mode analysis is host-numpy throughout: it is control-flow
+        # heavy, O(L^2 k) per cut, and intrinsically complex-valued — which
+        # the TPU backend cannot hold (BASELINE.md).  The heavy device work
+        # (eigh batches upstream, basis-change matmuls and the Pfaffian fill
+        # downstream) brackets this stage.
+        C_M = np.asarray(C_M)
         L = C_M.shape[0] // 2
         y = L - x
 
@@ -397,26 +402,27 @@ class SchmidtModes:
             """Rotate the 2*kh eigenvectors at lambda=1/2 to a real basis
             (they are defined only up to U(2kh); C real-imag SVD realifies,
             reference pfaffian.py:802-816)."""
-            if kh == 0 or not jnp.iscomplexobj(v):
+            if kh == 0 or not np.iscomplexobj(v):
                 return v
-            sl = jnp.asarray(np.arange(n - kh, n + kh))
+            sl = np.arange(n - kh, n + kh)
             block = v[:, sl]
-            w = jnp.concatenate([block.real, block.imag], axis=1)
-            w, s, _ = jnp.linalg.svd(w, full_matrices=False)
-            s_host = np.asarray(s)
+            w = np.concatenate([block.real, block.imag], axis=1)
+            w, s_host, _ = np.linalg.svd(w, full_matrices=False)
             s_exp = np.concatenate([np.ones(2 * kh), np.zeros(s_host.size - 2 * kh)])
             err = "1/2 eigenvectors cannot be made real"
             assert_allclose(s_host, s_exp, rtol=0, atol=diag_tol, err_msg=err)
-            return v.at[:, sl].set(w[:, : 2 * kh].astype(v.dtype))
+            v = v.copy()
+            v[:, sl] = w[:, : 2 * kh].astype(v.dtype)
+            return v
 
         eL_a = keL = khL = eR_a = keR = khR = None
         vL = vR = None
         if eL is not None:
             eL_a, keL, khL = analyse(np.asarray(eL), x)
-            vL = jnp.asarray(vL_raw, complex)
+            vL = np.array(vL_raw, dtype=complex)
         if eR is not None:
             eR_a, keR, khR = analyse(np.asarray(eR), y)
-            vR = jnp.asarray(vR_raw, complex)
+            vR = np.array(vR_raw, dtype=complex)
 
         if eL_a is None and eR_a is None:
             raise ValueError("need at least one of the L/R eigendecompositions")
@@ -446,21 +452,18 @@ class SchmidtModes:
                 slL = np.arange(x - k, x - kh)
                 slR = np.arange(y + kh, y + k)[::-1]
                 vLE, vRE = block_svd(
-                    CLR, vL[:, jnp.asarray(slL)], vR[:, jnp.asarray(slR)],
-                    eL_a[x - k : x - kh], deg_tol,
+                    CLR, vL[:, slL], vR[:, slR], eL_a[x - k : x - kh], deg_tol
                 )
-                vL = vL.at[:, jnp.asarray(slL)].set(vLE)
-                vR = vR.at[:, jnp.asarray(slR)].set(vRE)
+                vL[:, slL] = np.asarray(vLE)
+                vR[:, slR] = np.asarray(vRE)
             # SVD-pair the lambda=1/2 modes via the imaginary part of C_LR
             if kh > 0:
-                ixL = jnp.asarray(np.arange(x - kh, x + kh))
-                ixR = jnp.asarray(np.arange(y - kh, y + kh))
-                s_block = (
-                    vL[:, ixL].real.T @ CLR.imag @ vR[:, ixR].real
-                )
-                U, _, Vh = robust_svd(s_block)
-                vL = vL.at[:, ixL].set(vL[:, ixL] @ U.astype(vL.dtype))
-                vR = vR.at[:, ixR].set(vR[:, ixR] @ Vh.T.astype(vR.dtype))
+                ixL = np.arange(x - kh, x + kh)
+                ixR = np.arange(y - kh, y + kh)
+                s_block = vL[:, ixL].real.T @ CLR.imag @ vR[:, ixR].real
+                U, _, Vh = np.linalg.svd(s_block)
+                vL[:, ixL] = vL[:, ixL] @ U.astype(vL.dtype)
+                vR[:, ixR] = vR[:, ixR] @ Vh.T.astype(vR.dtype)
         elif eL_a is not None:
             k, kh = keL, khL
             e = eL_a[x - k : x]
@@ -474,13 +477,13 @@ class SchmidtModes:
         # the exact degeneracy in a reproducible way (reference
         # pfaffian.py:867-874, cf. CHANGELOG 0.3 bugfix #26)
         if kh > 0:
-            O = jnp.asarray(ortho_group.rvs(2 * kh, random_state=1234))
+            O = ortho_group.rvs(2 * kh, random_state=1234)
             if vL is not None:
-                ixL = jnp.asarray(np.arange(x - kh, x + kh))
-                vL = vL.at[:, ixL].set(vL[:, ixL] @ O.astype(vL.dtype))
+                ixL = np.arange(x - kh, x + kh)
+                vL[:, ixL] = vL[:, ixL] @ O.astype(vL.dtype)
             if vR is not None:
-                ixR = jnp.asarray(np.arange(y - kh, y + kh))
-                vR = vR.at[:, ixR].set(vR[:, ixR] @ O.astype(vR.dtype))
+                ixR = np.arange(y - kh, y + kh)
+                vR[:, ixR] = vR[:, ixR] @ O.astype(vR.dtype)
 
         logger.info("2 * %d entangled Schmidt modes found", k)
         logger.debug("2 * %d Schmidt modes with eigenvalue 1/2", kh)
@@ -488,20 +491,21 @@ class SchmidtModes:
         def nambu(v, n, kh, LR):
             """Restore conjugate-pair structure, convert to complex-fermion
             basis, compute the vacuum parity (reference pfaffian.py:879-897)."""
+            v = v.copy()
             if LR == "L":
                 if kh > 0:
-                    a = jnp.asarray(np.arange(n - kh, n))
-                    b = jnp.asarray(np.arange(n, n + kh))
-                    v = v.at[:, a].set((v[:, a] + 1j * v[:, b]) / 2**0.5)
-                v = v.at[:, n:].set(v[:, :n].conj())
+                    a = np.arange(n - kh, n)
+                    b = np.arange(n, n + kh)
+                    v[:, a] = (v[:, a] + 1j * v[:, b]) / 2**0.5
+                v[:, n:] = v[:, :n].conj()
             else:
                 if kh > 0:
-                    a = jnp.asarray(np.arange(n - kh, n))
-                    b = jnp.asarray(np.arange(n, n + kh))
-                    v = v.at[:, b].set(((-1j * v[:, a] + v[:, b]) / 2**0.5)[:, ::-1])
-                v = v.at[:, :n].set(v[:, n:].conj())
+                    a = np.arange(n - kh, n)
+                    b = np.arange(n, n + kh)
+                    v[:, b] = ((-1j * v[:, a] + v[:, b]) / 2**0.5)[:, ::-1]
+                v[:, :n] = v[:, n:].conj()
             v = vector_M2C(v)
-            p = parity(np.asarray(v[1::2, :n]))
+            p = parity(v[1::2, :n])
             return v, p
 
         pL = pR = None
@@ -543,9 +547,7 @@ class SchmidtModes:
             C = matrix_C2M(C)
         elif basis != "M":
             raise ValueError(f"Argument `basis` must be 'M' or 'C', got {basis!r}")
-        C = jnp.asarray(
-            assert_nambu_correlation(np.asarray(C), "M", atol=trunc_par.svd_min**2)
-        )
+        C = assert_nambu_correlation(np.asarray(C), "M", atol=trunc_par.svd_min**2)
         L = C.shape[0] // 2
         assert 0 <= x <= L, f"Invalid entanglement cut {x}, must be between 0 and {L}"
 
@@ -729,26 +731,43 @@ def _pfaffian_matrix(V1, V2, sets1, sets2, *, mode, tolerance=1e-8, min_SV=1e-6)
     Pfaffians are the Bogoliubov-excitation overlaps, plus the normalised
     vacuum overlap (Onishi formula); reference pfaffian.py:1258-1410.
 
+    On backends without device complex support the basis-change matmuls, the
+    U-block inverse and the N assembly run in split-complex (re, im) f64
+    planes and ``N`` is returned as a plane pair; otherwise ``N`` is a
+    complex device array.
+
     Returns (norm, N, new_sets1, new_sets2, split)."""
-    V1 = jnp.asarray(V1)
-    V2 = jnp.asarray(V2)
+    V1 = np.asarray(V1)
+    V2 = np.asarray(V2)
     n, m = V1.shape
     assert n == m > 0 and n % 2 == 0
     L = n // 2
     assert V2.shape == (n, m)
 
-    Vr = HT(V1) @ V2  # V1 is unitary
+    split_planes = not complex_on_device()
+    if split_planes:
+        V1d = splitc.sc_put(V1)
+        V2d = splitc.sc_put(V2)
+        Vr = splitc.sc_matmul_ht(V1d, V2d)  # V1 is unitary
+        UL_host = splitc.sc_get((Vr[0][:L, :L], Vr[1][:L, :L]))
+        Vr_host = splitc.sc_get(Vr) if testing.TEST_ACTION != "pass" else None
+    else:
+        Vr = HT(jnp.asarray(V1)) @ jnp.asarray(V2)
+        Vr_host = np.asarray(Vr)
+        UL_host = Vr_host[:L, :L]
 
     nambu_err = "Nambu symmetry violated"
-    Vr_host = np.asarray(Vr)
-    assert_allclose(
-        Vr_host[:L, :L].conj(), Vr_host[L:, L:], rtol=0, atol=tolerance, err_msg=nambu_err
-    )
-    assert_allclose(
-        Vr_host[:L, L:].conj(), Vr_host[L:, :L], rtol=0, atol=tolerance, err_msg=nambu_err
-    )
+    if Vr_host is not None:
+        assert_allclose(
+            Vr_host[:L, :L].conj(), Vr_host[L:, L:], rtol=0, atol=tolerance,
+            err_msg=nambu_err,
+        )
+        assert_allclose(
+            Vr_host[:L, L:].conj(), Vr_host[L:, :L], rtol=0, atol=tolerance,
+            err_msg=nambu_err,
+        )
 
-    s = np.asarray(robust_svd(Vr[:L, :L], compute_uv=False))
+    s = np.linalg.svd(UL_host, compute_uv=False)
     logger.info("Bogoliubov vacuum overlap: %.3e", s.prod())
     assert_array_less(
         min_SV, s, err_msg="Bogoliubov vacua do not overlap (U nearly singular)"
@@ -773,22 +792,46 @@ def _pfaffian_matrix(V1, V2, sets1, sets2, *, mode, tolerance=1e-8, min_SV=1e-6)
     elif mode != "right":
         raise ValueError('`mode` must be "left" or "right"')
 
-    Uxinv = gauss_inverse(Vr[L:, L:])  # TPU-safe (no LuDecomposition)
-    j1 = jnp.asarray(idx1, dtype=jnp.int32)
-    j2 = jnp.asarray(idx2, dtype=jnp.int32)
+    if split_planes:
+        Ux = (Vr[0][L:, L:], Vr[1][L:, L:])
+        Uxinv = splitc.sc_inverse(Ux)
+        j1 = jnp.asarray(idx1.copy(), dtype=jnp.int32)
+        j2 = jnp.asarray(idx2.copy(), dtype=jnp.int32)
+        VL_rows = (Vr[0][j1, L:], Vr[1][j1, L:])
+        AA = splitc.sc_matmul(VL_rows, (Uxinv[0][:, j1], Uxinv[1][:, j1]))
+        BA = (Uxinv[0][j2[:, None], j1[None, :]], Uxinv[1][j2[:, None], j1[None, :]])
+        BB = splitc.sc_matmul(
+            (Uxinv[0][j2, :], Uxinv[1][j2, :]), (Vr[0][L:, j2], Vr[1][L:, j2])
+        )
+        if testing.TEST_ACTION != "pass":
+            AA_host = splitc.sc_get(AA)
+            BB_host = splitc.sc_get(BB)
+            assert_allclose(
+                AA_host, -AA_host.T, rtol=0, atol=tolerance, err_msg=nambu_err
+            )
+            assert_allclose(
+                BB_host, -BB_host.T, rtol=0, atol=tolerance, err_msg=nambu_err
+            )
+        AA = splitc.sc_antisymmetrize(AA)
+        BB = splitc.sc_antisymmetrize(BB)
+        N = splitc.sc_block2(BB, BA, (-BA[0].T, -BA[1].T), AA)
+    else:
+        Uxinv = gauss_inverse(Vr[L:, L:])  # TPU-safe (no LuDecomposition)
+        j1 = jnp.asarray(idx1, dtype=jnp.int32)
+        j2 = jnp.asarray(idx2, dtype=jnp.int32)
 
-    AA = Vr[j1, L:] @ Uxinv[:, j1]  # M = V* inv(U*)
-    BA = Uxinv[j2[:, None], j1[None, :]]
-    BB = Uxinv[j2, :] @ Vr[L:, j2]
+        AA = Vr[j1, L:] @ Uxinv[:, j1]  # M = V* inv(U*)
+        BA = Uxinv[j2[:, None], j1[None, :]]
+        BB = Uxinv[j2, :] @ Vr[L:, j2]
 
-    AA_host = np.asarray(AA)
-    BB_host = np.asarray(BB)
-    assert_allclose(AA_host, -AA_host.T, rtol=0, atol=tolerance, err_msg=nambu_err)
-    assert_allclose(BB_host, -BB_host.T, rtol=0, atol=tolerance, err_msg=nambu_err)
-    AA = (AA - AA.T) / 2
-    BB = (BB - BB.T) / 2
+        AA_host = np.asarray(AA)
+        BB_host = np.asarray(BB)
+        assert_allclose(AA_host, -AA_host.T, rtol=0, atol=tolerance, err_msg=nambu_err)
+        assert_allclose(BB_host, -BB_host.T, rtol=0, atol=tolerance, err_msg=nambu_err)
+        AA = (AA - AA.T) / 2
+        BB = (BB - BB.T) / 2
 
-    N = jnp.block([[BB, BA], [-BA.T, AA]])
+        N = jnp.block([[BB, BA], [-BA.T, AA]])
 
     split = sets2.shape[1]
     new_sets1 = np.concatenate(
@@ -860,18 +903,20 @@ class MPSTensorData:
         bra_beta = np.arange(ns_bra)
         bra_phys = None
 
+        v_bra = np.asarray(v_bra)
+        v_ket = np.asarray(v_ket)
         if len(v_bra) + 2 == len(v_ket):
             physical = True
             n = len(v_bra) // 2
-            z_col = jnp.zeros((2 * n, 1), dtype=v_bra.dtype)
-            z_row = jnp.zeros((1, n), dtype=v_bra.dtype)
-            one = jnp.ones((1, 1), dtype=v_bra.dtype)
-            zero = jnp.zeros((1, 1), dtype=v_bra.dtype)
+            z_col = np.zeros((2 * n, 1), dtype=v_bra.dtype)
+            z_row = np.zeros((1, n), dtype=v_bra.dtype)
+            one = np.ones((1, 1), dtype=v_bra.dtype)
+            zero = np.zeros((1, 1), dtype=v_bra.dtype)
             if mode == "left":
                 # bra vacuum parity odd -> sign flip on the physical mode
                 u_p = -1.0 if Schmidt_bra.parity(mode) % 2 == 1 else 1.0
                 up = u_p * one
-                v_bra = jnp.block(
+                v_bra = np.block(
                     [
                         [v_bra[:, :n], z_col, v_bra[:, n:], z_col],
                         [z_row, up, z_row, zero],
@@ -885,7 +930,7 @@ class MPSTensorData:
                     ]
                 )
             else:
-                v_bra = jnp.block(
+                v_bra = np.block(
                     [
                         [one, z_row, zero, z_row],
                         [zero, z_row, one, z_row],
@@ -918,17 +963,18 @@ class MPSTensorData:
             if mode == "left":
                 perm = np.arange(2 * n)
                 perm[[n - 1, 2 * n - 1]] = perm[[2 * n - 1, n - 1]]
-                v_bra = v_bra[:, jnp.asarray(perm)]
+                v_bra = v_bra[:, perm]
                 sets_bra = sets_bra.copy()
                 sets_bra[:, -1] = ~sets_bra[:, -1]
             else:
                 # flip the sign of all other Bogoliubov operators and swap
                 # the most-entangled mode's gamma <-> gamma^dagger: net effect
                 # col0 <- old col n, col n <- old col 0, all others negated
-                c0 = v_bra[:, n]
-                cn = v_bra[:, 0]
+                c0 = v_bra[:, n].copy()
+                cn = v_bra[:, 0].copy()
                 v_bra = -v_bra
-                v_bra = v_bra.at[:, 0].set(c0).at[:, n].set(cn)
+                v_bra[:, 0] = c0
+                v_bra[:, n] = cn
                 sets_bra = sets_bra.copy()
                 sets_bra[:, 0] = ~sets_bra[:, 0]
 
@@ -961,7 +1007,12 @@ class MPSTensorData:
         with ix = [ket excitations, bra excitations, J-padding]."""
         cnt_bra = self.sets_bra.sum(axis=1)
         cnt_ket = self.sets_ket.sum(axis=1)
-        m = self.pfaffian_matrix.shape[0]
+        split_planes = isinstance(self.pfaffian_matrix, tuple)
+        m = (
+            self.pfaffian_matrix[0].shape[0]
+            if split_planes
+            else self.pfaffian_matrix.shape[0]
+        )
 
         width = int((cnt_bra.max(initial=0) + cnt_ket.max(initial=0)))
         width = max(4, -(-width // 4) * 4)  # bucketed, even
@@ -1017,10 +1068,18 @@ class MPSTensorData:
             pad_row = m + np.arange(width, dtype=np.int32)
             idx = np.concatenate([idx, np.broadcast_to(pad_row, (P_b - P, width))])
 
-        vals = batched_pfaffian_pairs(
-            self.pfaffian_matrix, idx, pad_slots=width, chunk=pf_chunk
-        )
-        vals = vals * self.norm
+        if split_planes:
+            vr, vi = batched_pfaffian_pairs_split(
+                self.pfaffian_matrix[0], self.pfaffian_matrix[1], idx,
+                pad_slots=width, chunk=pf_chunk,
+            )
+            # complex assembly happens on the host (no device complex)
+            vals = (np.asarray(vr) + 1j * np.asarray(vi)) * self.norm
+        else:
+            vals = batched_pfaffian_pairs(
+                self.pfaffian_matrix, idx, pad_slots=width, chunk=pf_chunk
+            )
+            vals = vals * self.norm
         return rows, cols, vals
 
     def to_dense_tensor(self, pf_chunk: int | None = 16384):
@@ -1030,26 +1089,38 @@ class MPSTensorData:
         rows, cols, vals = self._pair_values(pf_chunk)
         nb = len(self.q_bra)
         nk = len(self.q_ket)
-        dtype = self.pfaffian_matrix.dtype
+        split_planes = isinstance(self.pfaffian_matrix, tuple)
+        if split_planes:
+            dtype = np.result_type(np.asarray(self.pfaffian_matrix[0]).dtype, complex)
+
+            def scatter(vals, shape, indices, n_real, dtype):
+                # host scatter: the complex tensor cannot live on the device
+                T = np.zeros(shape, dtype=dtype)
+                T[tuple(np.asarray(ix) for ix in indices)] = np.asarray(vals)[:n_real]
+                return T
+
+        else:
+            dtype = self.pfaffian_matrix.dtype
+            scatter = scatter_padded
         P = len(rows)
         if vals is None:
             shape = (nb, nk) if not self.physical_leg else (
                 (nb, 2, nk) if self.mode == "left" else (nk, 2, nb)
             )
-            Z = jnp.zeros(shape, dtype=dtype)
+            Z = np.zeros(shape, dtype) if split_planes else jnp.zeros(shape, dtype)
             if self.mode == "left" or not self.physical_leg:
                 return Z, self.q_bra, self.q_ket, self.qtotal
             return Z, self.q_ket, self.q_bra, self.qtotal
         if not self.physical_leg:
-            M = scatter_padded(vals, (nb, nk), (self.bra_beta[rows], cols), P, dtype)
+            M = scatter(vals, (nb, nk), (self.bra_beta[rows], cols), P, dtype)
             return M, self.q_bra, self.q_ket, self.qtotal
         if self.mode == "left":
-            T = scatter_padded(
+            T = scatter(
                 vals, (nb, 2, nk),
                 (self.bra_beta[rows], self.bra_phys[rows], cols), P, dtype,
             )
             return T, self.q_bra, self.q_ket, self.qtotal
-        T = scatter_padded(
+        T = scatter(
             vals, (nk, 2, nb),
             (cols, self.bra_phys[rows], self.bra_beta[rows]), P, dtype,
         )
@@ -1085,10 +1156,11 @@ def C_to_MPS(
         raise ValueError(f"Argument `basis` must be 'M' or 'C', got {basis!r}")
     C_host = assert_nambu_correlation(np.asarray(C), "M", atol=trunc_par.svd_min**2)
     if dtype is not None:
-        # cast on HOST before upload: even a device_put of complex128 blocks
-        # on the current TPU stack
         C_host = np.asarray(C_host).astype(dtype)
-    C = jnp.asarray(C_host)
+    # the Majorana correlation matrix is complex: it stays on the host
+    # (device complex is unavailable on TPU); the device work happens in the
+    # eigh batches and the split-complex overlap/Pfaffian kernels downstream
+    C = jnp.asarray(C_host) if complex_on_device() else C_host
     L = C.shape[0] // 2
 
     if unit_cell_width is None:
@@ -1204,8 +1276,11 @@ def C_to_iMPS(
     elif basis != "M":
         raise ValueError(f"Argument `basis` must be 'M' or 'C', got {basis!r}")
     tol = trunc_par.svd_min**2
-    C_short = jnp.asarray(assert_nambu_correlation(np.asarray(C_short), "M", atol=tol))
-    C_long = jnp.asarray(assert_nambu_correlation(np.asarray(C_long), "M", atol=tol))
+    C_short = assert_nambu_correlation(np.asarray(C_short), "M", atol=tol)
+    C_long = assert_nambu_correlation(np.asarray(C_long), "M", atol=tol)
+    if complex_on_device():
+        C_short = jnp.asarray(C_short)
+        C_long = jnp.asarray(C_long)
 
     L_short = C_short.shape[0] // 2
     L_long = C_long.shape[0] // 2
@@ -1270,7 +1345,8 @@ def C_to_iMPS(
         unitary_tol=unitary_tol,
         schmidt_tol=schmidt_tol,
     )
-    tensors[0] = jnp.einsum("ab,bnc->anc", Cmat, tensors[0])
+    xp = np if isinstance(tensors[0], np.ndarray) else jnp
+    tensors[0] = xp.einsum("ab,bnc->anc", xp.asarray(Cmat), tensors[0])
 
     imps = MPS(
         [fermion_site] * sites_per_cell,
