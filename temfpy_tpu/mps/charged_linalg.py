@@ -91,10 +91,20 @@ def charged_svd(
         keep_thresh = max(keep_thresh, float(np.sort(svals)[::-1][chi_max - 1]))
         # note: ties at the threshold are all kept (may slightly exceed chi_max)
 
+    # with no truncation requested, keep every singular triplet per sector
+    # (including exact zeros) so square inputs yield square factors — e.g.
+    # the Procrustes rotation in iMPS.basis_rotation must stay unitary, not
+    # become a rank-deficient partial isometry that silently zeroes Schmidt
+    # components
+    keep_all = cutoff is None and chi_max is None
+
     U_cols, S_parts, Vh_rows, q_mid = [], [], [], []
     err = 0.0
     for q_col_charge, rows, cols, Ub, Sb_host, Vhb, Sb, _ in blocks:
-        keep = Sb_host >= max(keep_thresh, 1e-300)
+        if keep_all:
+            keep = np.ones(Sb_host.shape, dtype=bool)
+        else:
+            keep = Sb_host >= max(keep_thresh, 1e-300)
         err += float((Sb_host[~keep] ** 2).sum())
         k = int(keep.sum())
         if k == 0:

@@ -309,11 +309,20 @@ class MPS:
             return complex(np.einsum("ab,ab->", E, Rs[i]))
 
         result = np.zeros((L, L), dtype=complex)
-        needs_jw = [
-            self.sites[i].op_needs_JW.get(name1, False)
-            and self.sites[i].op_needs_JW.get(name2, False)
-            for i in range(L)
-        ]
+        needs_jw = []
+        for i in range(L):
+            jw1 = self.sites[i].op_needs_JW.get(name1, False)
+            jw2 = self.sites[i].op_needs_JW.get(name2, False)
+            if jw1 != jw2:
+                # a mixed fermionic/bosonic pair is parity-odd: its string
+                # structure is ill-defined for a two-point function, and
+                # silently omitting the string would produce wrong signs
+                raise ValueError(
+                    f"correlation_function({name1!r}, {name2!r}): operators "
+                    "have mismatched Jordan-Wigner requirements (parity-odd "
+                    "pair); such correlators are not supported"
+                )
+            needs_jw.append(jw1 and jw2)
 
         for i in range(L):
             site_i = self.sites[i]

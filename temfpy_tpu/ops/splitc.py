@@ -146,8 +146,16 @@ def pf_overlap_kernel(V1r, V1i, V2r, V2i, j1, j2):
     Dr, Di = Vrr[nb:, j2], Vri[nb:, j2]
     BBr = Cr @ Dr - Ci @ Di
     BBi = Cr @ Di + Ci @ Dr
+    # pre-antisymmetrisation asymmetry (the Nambu contract of reference
+    # pfaffian.py:1394-1397), reported as scalars for the checked mode
+    aa_asym = jnp.maximum(
+        jnp.abs(AAr + AAr.T).max(), jnp.abs(AAi + AAi.T).max()
+    )
+    bb_asym = jnp.maximum(
+        jnp.abs(BBr + BBr.T).max(), jnp.abs(BBi + BBi.T).max()
+    )
     AAr, AAi = (AAr - AAr.T) / 2, (AAi - AAi.T) / 2
     BBr, BBi = (BBr - BBr.T) / 2, (BBi - BBi.T) / 2
     Nr = jnp.block([[BBr, BAr], [-BAr.T, AAr]])
     Ni = jnp.block([[BBi, BAi], [-BAi.T, AAi]])
-    return Nr, Ni, det_embed, Vrr, Vri
+    return Nr, Ni, det_embed, Vrr, Vri, aa_asym, bb_asym

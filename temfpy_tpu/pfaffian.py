@@ -390,12 +390,15 @@ class SchmidtModes:
             e_host = np.clip(e_host, 0.0, 1.0)
             err = "Eigenvalues break Nambu symmetry"
             assert_allclose(e_host, 1 - e_host[::-1], rtol=0, atol=deg_tol, err_msg=err)
-            x0, x1 = np.searchsorted(e_host, [0.5 - deg_tol, 0.5 + deg_tol])
-            kh = x1 - n
-            assert x0 == n - kh, "1/2 eigenvalues asymmetrical in spectrum"
-            x0, x1 = np.searchsorted(e_host, [cutoff, 1 - cutoff])
-            ke = x1 - n
-            assert x0 == n - ke, "Entangled modes asymmetrical in spectrum"
+            # classify from the LOWER half only and mirror by the (just
+            # asserted) Nambu symmetry e = 1 - e[::-1]: near 1 the float64
+            # absolute resolution (~2e-16) is far coarser than near 0, so an
+            # eigenvalue planted exactly at the cutoff (lambda = svd_min^2 ~
+            # 1e-12) can classify asymmetrically if both spectrum edges are
+            # thresholded independently (the reference pfaffian.py:792-796
+            # searchsorted-both-edges approach has this failure mode)
+            kh = n - int(np.searchsorted(e_host, 0.5 - deg_tol))
+            ke = n - int(np.searchsorted(e_host, cutoff))
             return e_host, ke, kh
 
         def realify_half_modes(v, e_host, n, kh):
@@ -726,15 +729,45 @@ class SchmidtVectors:
 #### --------------------------------- ####
 
 
+def _bucket(n: int, step: int = 32) -> int:
+    """Rounds a size up to its shape bucket (bounds executable diversity:
+    one compiled kernel serves every site whose sizes share a bucket)."""
+    if n <= 8:
+        return 8
+    return -(-n // step) * step
+
+
+def _pad_nambu_modes(V: np.ndarray, n_b: int) -> np.ndarray:
+    """Vacuum-pads a (2n, 2n) Nambu mode matrix to (2n_b, 2n_b): the extra
+    modes are annihilators/creators of empty fake sites, so the padded matrix
+    stays unitary and Nambu, original mode positions within each half are
+    unchanged, and (for two identically padded matrices) the basis change
+    V1^H V2 gains exact identity blocks — unit Onishi singular values and an
+    identity extension of U*^{-1} that the active-mode indices never touch."""
+    n = V.shape[0] // 2
+    p = n_b - n
+    if p == 0:
+        return V
+    out = np.zeros((2 * n_b, 2 * n_b), dtype=V.dtype)
+    out[: 2 * n, :n] = V[:, :n]
+    out[: 2 * n, n_b : n_b + n] = V[:, n:]
+    rows = 2 * n + 2 * np.arange(p)
+    out[rows + 1, n + np.arange(p)] = 1.0  # annihilator of the fake site
+    out[rows, n_b + n + np.arange(p)] = 1.0  # its conjugate (creator)
+    return out
+
+
 def _pfaffian_matrix(V1, V2, sets1, sets2, *, mode, tolerance=1e-8, min_SV=1e-6):
     """Precomputes the antisymmetric matrix N whose principal-submatrix
     Pfaffians are the Bogoliubov-excitation overlaps, plus the normalised
     vacuum overlap (Onishi formula); reference pfaffian.py:1258-1410.
 
     On backends without device complex support the basis-change matmuls, the
-    U-block inverse and the N assembly run in split-complex (re, im) f64
-    planes and ``N`` is returned as a plane pair; otherwise ``N`` is a
-    complex device array.
+    U-block inverse and the N assembly run fused in split-complex (re, im)
+    f64 planes with bucketed shapes (:func:`temfpy_tpu.ops.splitc
+    .pf_overlap_kernel`); ``N`` is returned as a plane pair and ``norm`` as
+    a device scalar.  Otherwise ``N`` is a complex device array and ``norm``
+    a float.
 
     Returns (norm, N, new_sets1, new_sets2, split)."""
     V1 = np.asarray(V1)
@@ -743,36 +776,6 @@ def _pfaffian_matrix(V1, V2, sets1, sets2, *, mode, tolerance=1e-8, min_SV=1e-6)
     assert n == m > 0 and n % 2 == 0
     L = n // 2
     assert V2.shape == (n, m)
-
-    split_planes = not complex_on_device()
-    if split_planes:
-        V1d = splitc.sc_put(V1)
-        V2d = splitc.sc_put(V2)
-        Vr = splitc.sc_matmul_ht(V1d, V2d)  # V1 is unitary
-        UL_host = splitc.sc_get((Vr[0][:L, :L], Vr[1][:L, :L]))
-        Vr_host = splitc.sc_get(Vr) if testing.TEST_ACTION != "pass" else None
-    else:
-        Vr = HT(jnp.asarray(V1)) @ jnp.asarray(V2)
-        Vr_host = np.asarray(Vr)
-        UL_host = Vr_host[:L, :L]
-
-    nambu_err = "Nambu symmetry violated"
-    if Vr_host is not None:
-        assert_allclose(
-            Vr_host[:L, :L].conj(), Vr_host[L:, L:], rtol=0, atol=tolerance,
-            err_msg=nambu_err,
-        )
-        assert_allclose(
-            Vr_host[:L, L:].conj(), Vr_host[L:, :L], rtol=0, atol=tolerance,
-            err_msg=nambu_err,
-        )
-
-    s = np.linalg.svd(UL_host, compute_uv=False)
-    logger.info("Bogoliubov vacuum overlap: %.3e", s.prod())
-    assert_array_less(
-        min_SV, s, err_msg="Bogoliubov vacua do not overlap (U nearly singular)"
-    )
-    norm = s.prod() ** 0.5
 
     def prune(sets, reverse):
         keep = np.any(sets, axis=0)
@@ -792,46 +795,97 @@ def _pfaffian_matrix(V1, V2, sets1, sets2, *, mode, tolerance=1e-8, min_SV=1e-6)
     elif mode != "right":
         raise ValueError('`mode` must be "left" or "right"')
 
+    nambu_err = "Nambu symmetry violated"
+    checked = testing.TEST_ACTION != "pass"
+    split_planes = not complex_on_device()
+
     if split_planes:
-        Ux = (Vr[0][L:, L:], Vr[1][L:, L:])
-        Uxinv = splitc.sc_inverse(Ux)
-        j1 = jnp.asarray(idx1.copy(), dtype=jnp.int32)
-        j2 = jnp.asarray(idx2.copy(), dtype=jnp.int32)
-        VL_rows = (Vr[0][j1, L:], Vr[1][j1, L:])
-        AA = splitc.sc_matmul(VL_rows, (Uxinv[0][:, j1], Uxinv[1][:, j1]))
-        BA = (Uxinv[0][j2[:, None], j1[None, :]], Uxinv[1][j2[:, None], j1[None, :]])
-        BB = splitc.sc_matmul(
-            (Uxinv[0][j2, :], Uxinv[1][j2, :]), (Vr[0][L:, j2], Vr[1][L:, j2])
+        n_b = _bucket(L)
+        k1, k2 = len(idx1), len(idx2)
+        k1_b = _bucket(k1, 8)
+        k2_b = _bucket(k2, 8)
+        V1p = splitc.sc_put(_pad_nambu_modes(V1, n_b))
+        V2p = splitc.sc_put(_pad_nambu_modes(V2, n_b))
+        j1 = np.zeros(k1_b, np.int32)
+        j1[:k1] = idx1
+        j2 = np.zeros(k2_b, np.int32)
+        j2[:k2] = idx2
+        Nr, Ni, det_embed, Vrr, Vri, aa_asym, bb_asym = splitc.pf_overlap_kernel(
+            V1p[0], V1p[1], V2p[0], V2p[1], jnp.asarray(j1), jnp.asarray(j2)
         )
-        if testing.TEST_ACTION != "pass":
-            AA_host = splitc.sc_get(AA)
-            BB_host = splitc.sc_get(BB)
+        if checked:
+            Vr_host = np.asarray(Vrr) + 1j * np.asarray(Vri)
             assert_allclose(
-                AA_host, -AA_host.T, rtol=0, atol=tolerance, err_msg=nambu_err
+                Vr_host[:n_b, :n_b].conj(), Vr_host[n_b:, n_b:],
+                rtol=0, atol=tolerance, err_msg=nambu_err,
             )
             assert_allclose(
-                BB_host, -BB_host.T, rtol=0, atol=tolerance, err_msg=nambu_err
+                Vr_host[:n_b, n_b:].conj(), Vr_host[n_b:, :n_b],
+                rtol=0, atol=tolerance, err_msg=nambu_err,
             )
-        AA = splitc.sc_antisymmetrize(AA)
-        BB = splitc.sc_antisymmetrize(BB)
-        N = splitc.sc_block2(BB, BA, (-BA[0].T, -BA[1].T), AA)
-    else:
-        Uxinv = gauss_inverse(Vr[L:, L:])  # TPU-safe (no LuDecomposition)
-        j1 = jnp.asarray(idx1, dtype=jnp.int32)
-        j2 = jnp.asarray(idx2, dtype=jnp.int32)
+            s = np.linalg.svd(Vr_host[:n_b, :n_b], compute_uv=False)
+            logger.info("Bogoliubov vacuum overlap: %.3e", s.prod())
+            assert_array_less(
+                min_SV, s,
+                err_msg="Bogoliubov vacua do not overlap (U nearly singular)",
+            )
+            assert_array_less(
+                float(aa_asym), tolerance, err_msg=nambu_err
+            )
+            assert_array_less(
+                float(bb_asym), tolerance, err_msg=nambu_err
+            )
+            norm = s.prod() ** 0.5
+        else:
+            # |det U|^2 = det of the real embedding of U*; Onishi norm =
+            # prod(singular values)^{1/2} = |det U|^{1/2} (device scalar —
+            # no per-site host sync in production mode)
+            norm = det_embed**0.25
+        N = (Nr, Ni)
+        pad1 = np.zeros((sets1.shape[0], k1_b - k1), dtype=bool)
+        pad2 = np.zeros((sets2.shape[0], k2_b - k2), dtype=bool)
+        new_sets1 = np.concatenate(
+            (np.zeros((sets1.shape[0], k2_b), dtype=bool), sets1, pad1), axis=1
+        )
+        new_sets2 = np.concatenate(
+            (sets2, pad2, np.zeros((sets2.shape[0], k1_b), dtype=bool)), axis=1
+        )
+        return norm, N, new_sets1, new_sets2, k2_b
 
-        AA = Vr[j1, L:] @ Uxinv[:, j1]  # M = V* inv(U*)
-        BA = Uxinv[j2[:, None], j1[None, :]]
-        BB = Uxinv[j2, :] @ Vr[L:, j2]
+    Vr = HT(jnp.asarray(V1)) @ jnp.asarray(V2)  # V1 is unitary
+    Vr_host = np.asarray(Vr)
+    assert_allclose(
+        Vr_host[:L, :L].conj(), Vr_host[L:, L:], rtol=0, atol=tolerance,
+        err_msg=nambu_err,
+    )
+    assert_allclose(
+        Vr_host[:L, L:].conj(), Vr_host[L:, :L], rtol=0, atol=tolerance,
+        err_msg=nambu_err,
+    )
 
-        AA_host = np.asarray(AA)
-        BB_host = np.asarray(BB)
-        assert_allclose(AA_host, -AA_host.T, rtol=0, atol=tolerance, err_msg=nambu_err)
-        assert_allclose(BB_host, -BB_host.T, rtol=0, atol=tolerance, err_msg=nambu_err)
-        AA = (AA - AA.T) / 2
-        BB = (BB - BB.T) / 2
+    s = np.linalg.svd(Vr_host[:L, :L], compute_uv=False)
+    logger.info("Bogoliubov vacuum overlap: %.3e", s.prod())
+    assert_array_less(
+        min_SV, s, err_msg="Bogoliubov vacua do not overlap (U nearly singular)"
+    )
+    norm = s.prod() ** 0.5
 
-        N = jnp.block([[BB, BA], [-BA.T, AA]])
+    Uxinv = gauss_inverse(Vr[L:, L:])  # TPU-safe (no LuDecomposition)
+    j1 = jnp.asarray(idx1, dtype=jnp.int32)
+    j2 = jnp.asarray(idx2, dtype=jnp.int32)
+
+    AA = Vr[j1, L:] @ Uxinv[:, j1]  # M = V* inv(U*)
+    BA = Uxinv[j2[:, None], j1[None, :]]
+    BB = Uxinv[j2, :] @ Vr[L:, j2]
+
+    AA_host = np.asarray(AA)
+    BB_host = np.asarray(BB)
+    assert_allclose(AA_host, -AA_host.T, rtol=0, atol=tolerance, err_msg=nambu_err)
+    assert_allclose(BB_host, -BB_host.T, rtol=0, atol=tolerance, err_msg=nambu_err)
+    AA = (AA - AA.T) / 2
+    BB = (BB - BB.T) / 2
+
+    N = jnp.block([[BB, BA], [-BA.T, AA]])
 
     split = sets2.shape[1]
     new_sets1 = np.concatenate(
@@ -852,7 +906,7 @@ class MPSTensorData:
 
     mode: str
     physical_leg: bool
-    norm: float
+    norm: object  # float, or a device scalar on split-complex backends
     pfaffian_matrix: object  # jnp (w, w) antisymmetric
     sets_bra: np.ndarray  # (rows, w) bool incl. leading ket zeros
     sets_ket: np.ndarray  # (cols, w) bool incl. trailing bra zeros
@@ -991,7 +1045,7 @@ class MPSTensorData:
         return cls(
             mode=mode,
             physical_leg=physical,
-            norm=float(norm),
+            norm=norm if not isinstance(norm, (float, np.floating)) else float(norm),
             pfaffian_matrix=N,
             sets_bra=new_sets_bra,
             sets_ket=new_sets_ket,
@@ -1074,7 +1128,9 @@ class MPSTensorData:
                 pad_slots=width, chunk=pf_chunk,
             )
             # complex assembly happens on the host (no device complex)
-            vals = (np.asarray(vr) + 1j * np.asarray(vi)) * self.norm
+            # device multiply (norm may be a device scalar); the host
+            # combine happens at materialisation time so queued sites overlap
+            vals = (vr * self.norm, vi * self.norm)
         else:
             vals = batched_pfaffian_pairs(
                 self.pfaffian_matrix, idx, pad_slots=width, chunk=pf_chunk
@@ -1082,11 +1138,22 @@ class MPSTensorData:
             vals = vals * self.norm
         return rows, cols, vals
 
+    def queue(self, pf_chunk: int | None = 16384) -> "MPSTensorData":
+        """Dispatches this site's Pfaffian fill to the device and caches the
+        handles without synchronising, so consecutive sites' batches overlap
+        (the driver queues every site, then materialises)."""
+        if getattr(self, "_pair_cache", None) is None:
+            object.__setattr__(self, "_pair_cache", self._pair_values(pf_chunk))
+        return self
+
     def to_dense_tensor(self, pf_chunk: int | None = 16384):
         """The MPS tensor as a dense (chiL, d, chiR) device array with Z2
         bond labels (replaces reference ``to_npc_array``,
         pfaffian.py:1750-1778)."""
-        rows, cols, vals = self._pair_values(pf_chunk)
+        cache = getattr(self, "_pair_cache", None)
+        rows, cols, vals = cache if cache is not None else self._pair_values(pf_chunk)
+        if isinstance(vals, tuple):  # split planes -> host complex
+            vals = np.asarray(vals[0]) + 1j * np.asarray(vals[1])
         nb = len(self.q_bra)
         nk = len(self.q_ket)
         split_planes = isinstance(self.pfaffian_matrix, tuple)
@@ -1203,31 +1270,37 @@ def C_to_MPS(
             out.append(SchmidtVectors.from_schmidt_modes(modes, trunc_par))
         return out
 
-    # ---- right half ----
+    # ---- dispatch pass: queue every site's overlap + Pfaffian batches ----
+    datas = [None] * L
     right_sv = modes_batched(list(range(c + 1, L + 1)), "R")
     Schmidt = Schmidt_center
     for i, Schmidt_new in zip(range(c, L), right_sv):
         logger.info("Site %d", i)
         lams[i + 1] = normalize_SV(Schmidt_new.schmidt_values, logger)
         q_bonds[i + 1] = Schmidt_new.q_parity(Schmidt_new.pL)
-        with profiling.stage("tensor_fill"):
-            data = MPSTensorData.from_schmidt_vectors(Schmidt_new, Schmidt, "right")
-            T, _, _, qt = data.to_dense_tensor()
-        tensors[i] = (T, qt)
+        with profiling.stage("tensor_plan"):
+            datas[i] = MPSTensorData.from_schmidt_vectors(
+                Schmidt_new, Schmidt, "right"
+            ).queue()
         Schmidt = Schmidt_new
 
-    # ---- left half ----
     left_sv = modes_batched(list(range(c - 1, -1, -1)), "L")
     Schmidt = Schmidt_center
     for i, Schmidt_new in zip(range(c - 1, -1, -1), left_sv):
         logger.info("Site %d", i)
         lams[i] = normalize_SV(Schmidt_new.schmidt_values, logger)
         q_bonds[i] = Schmidt_new.q_parity(Schmidt_new.pL)
-        with profiling.stage("tensor_fill"):
-            data = MPSTensorData.from_schmidt_vectors(Schmidt_new, Schmidt, "left")
-            T, _, _, qt = data.to_dense_tensor()
-        tensors[i] = (T, qt)
+        with profiling.stage("tensor_plan"):
+            datas[i] = MPSTensorData.from_schmidt_vectors(
+                Schmidt_new, Schmidt, "left"
+            ).queue()
         Schmidt = Schmidt_new
+
+    # ---- materialisation pass (synchronises once per site, in order) ----
+    for i in range(L):
+        with profiling.stage("tensor_fill"):
+            T, _, _, qt = datas[i].to_dense_tensor()
+        tensors[i] = (T, qt)
 
     form = ["A"] * c + ["B"] * (L - c)
     return MPS(
