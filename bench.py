@@ -1,9 +1,12 @@
 #!/usr/bin/env python
-"""Headline benchmark: Slater -> finite MPS conversion at L=256, chi=512.
+"""Headline benchmark: Slater -> finite MPS conversion at L=256, chi=512,
+plus tracked timings for the other BASELINE configs (Kitaev Pfaffian, iMPS
+unit cell, Gutzwiller pi-flux).
 
 Prints ONE JSON line:
   {"metric": "slater_to_mps_L256_chi512_seconds", "value": <s>, "unit": "s",
-   "vs_baseline": <speedup vs the recorded single-host CPU baseline>}
+   "vs_baseline": <speedup vs the recorded single-host CPU baseline>,
+   "extra_metrics": {"pfaffian_kitaev_L64_chi128_seconds": ..., ...}}
 
 The reference library publishes no numbers (BASELINE.md), so the baseline is
 this library's own conversion measured on the host CPU (single process,
@@ -11,6 +14,7 @@ recorded below with provenance).  vs_baseline > 1 means faster than that CPU
 baseline.
 
 Usage:  python bench.py [--L 256] [--chi 512] [--cpu] [--dtype f64|f32]
+                        [--configs 1,2,3,4] [--profile] [--verbose]
 """
 
 import argparse
@@ -22,15 +26,120 @@ import numpy as np
 
 
 # Measured on this container's CPU (JAX CPU backend, float64, warm-compiled
-# second run, W=8 tight-binding cylinder model below; 2026-08-16, round 1).
-# The host has ONE core shared with the session driver, so CPU wall-clock
-# carries up to ~2-4x contention noise; each entry is the FASTEST (least
-# contended, i.e. most conservative) measurement observed — see BASELINE.md:
+# second run; 2026-08-16).  The host has ONE core shared with the session
+# driver, so CPU wall-clock carries up to ~2-4x contention noise; each entry
+# is the FASTEST (least contended, i.e. most conservative) measurement
+# observed — see BASELINE.md.
 CPU_BASELINE_SECONDS = {
+    # (L, chi) of the W=8 tight-binding cylinder slater headline
     (64, 128): 1.28,
     (128, 512): 64.7,
     (256, 512): 466.4,
 }
+# warm CPU seconds for the auxiliary configs (same machine/protocol;
+# measured 2026-08-16, quiet host, `python bench.py --cpu --configs 2,3,4`)
+CPU_BASELINE_EXTRA = {
+    "pfaffian_kitaev_L64_chi128_seconds": 1.75,
+    "slater_imps_L128_cell2_chi64_seconds": 0.23,
+    "gutzwiller_piflux_W4_L32_chi128_seconds": 5.65,
+}
+
+
+def _timed(fn, repeat):
+    """(warm_seconds, cold_seconds): best of the warm runs."""
+    times = []
+    for _ in range(max(2, repeat)):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return min(times[1:]), times[0]
+
+
+def bench_pfaffian_kitaev(L=64, chi=128, repeat=2):
+    """BASELINE config 2: open Kitaev chain (trivial gapped phase) BdG
+    state -> finite MPS via the Pfaffian-sign path."""
+    from temfpy_tpu import pfaffian
+
+    H = np.zeros((2 * L, 2 * L), complex)
+    t, delta, mu = 1.0, 1.0, 3.0
+    for i in range(L):
+        H[2 * i, 2 * i] = -mu / 2
+        H[2 * i + 1, 2 * i + 1] = mu / 2
+    for i in range(L - 1):
+        H[2 * i, 2 * (i + 1)] += -t / 2
+        H[2 * (i + 1), 2 * i] += -t / 2
+        H[2 * i + 1, 2 * (i + 1) + 1] += t / 2
+        H[2 * (i + 1) + 1, 2 * i + 1] += t / 2
+        H[2 * i, 2 * (i + 1) + 1] += delta / 2
+        H[2 * (i + 1) + 1, 2 * i] += delta / 2
+        H[2 * i + 1, 2 * (i + 1)] += -delta / 2
+        H[2 * (i + 1), 2 * i + 1] += -delta / 2
+    H = H + H.conj().T - np.diag(np.diag(H).real)
+    C = pfaffian.correlation_matrix(H, basis="C->M")
+
+    state = {}
+
+    def run():
+        state["mps"] = pfaffian.C_to_MPS(C, {"chi_max": chi}, basis="M")
+
+    warm, cold = _timed(run, repeat)
+    return warm, cold, {"chi_max_reached": state["mps"].chi_max}
+
+
+def bench_slater_imps(L=128, cell=2, chi=64, repeat=2):
+    """BASELINE config 3: translation-invariant free fermions -> iMPS unit
+    cell via the correlation-matrix route (dimerized hopping chain)."""
+    from temfpy_tpu import slater
+
+    def hop(n):
+        H = np.zeros((n, n))
+        for i in range(n - 1):
+            H[i, i + 1] = H[i + 1, i] = -1.0 - 0.3 * (-1) ** i
+        return H
+
+    state = {}
+
+    def run():
+        state["out"] = slater.H_to_iMPS(
+            hop(L), hop(L + cell), {"chi_max": chi},
+            sites_per_cell=cell, cut=L // 2,
+        )
+
+    warm, cold = _timed(run, repeat)
+    imps = state["out"][0] if isinstance(state["out"], tuple) else state["out"]
+    return warm, cold, {"chi_max_reached": imps.chi_max}
+
+
+def bench_gutzwiller_piflux(W=4, Lx=8, chi=128, repeat=2):
+    """BASELINE config 4: pi-flux Slater determinant on a W-leg cylinder,
+    spinful PH doubling -> Gutzwiller projection to a spin-1/2 MPS."""
+    from temfpy_tpu import gutzwiller, slater
+
+    L = W * Lx
+    H = np.zeros((L, L))
+
+    def idx(x, y):
+        return x * W + y % W
+
+    for x in range(Lx):
+        for y in range(W):
+            if x + 1 < Lx:
+                # pi flux: alternate sign of the axial bonds with y
+                H[idx(x, y), idx(x + 1, y)] = H[idx(x + 1, y), idx(x, y)] = (
+                    -1.0 if y % 2 == 0 else 1.0
+                )
+            if W > 1:
+                H[idx(x, y), idx(x, y + 1)] = H[idx(x, y + 1), idx(x, y)] = -1.0
+    H -= 1e-4 * np.diag(np.arange(L))  # split exact degeneracies
+
+    state = {}
+
+    def run():
+        mps = slater.H_to_MPS(H, {"chi_max": chi}, spinful="PH")
+        state["spin"] = gutzwiller.abrikosov_ph(mps)
+
+    warm, cold = _timed(run, repeat)
+    return warm, cold, {"chi_spin": state["spin"].chi_max}
 
 
 def main():
@@ -43,10 +152,16 @@ def main():
     p.add_argument("--width", type=int, default=8, help="cylinder circumference")
     p.add_argument("--verbose", action="store_true")
     p.add_argument(
+        "--configs", default="1,2,3,4",
+        help="comma list of BASELINE configs to run (1=slater headline, "
+        "2=Kitaev Pfaffian, 3=slater iMPS, 4=Gutzwiller pi-flux)",
+    )
+    p.add_argument(
         "--profile", action="store_true",
         help="print a per-stage wall-clock breakdown of each run to stderr",
     )
     args = p.parse_args()
+    configs = {c.strip() for c in args.configs.split(",") if c.strip()}
 
     import os
 
@@ -102,73 +217,103 @@ def main():
 
     C, _ = slater.correlation_matrix(H)
 
-    times = []
-    mps = None
+    value = None
+    extra = {"device": str(dev), "dtype": args.dtype}
+    extra_metrics = {}
     try:
         from temfpy_tpu import profiling
         import contextlib
 
-        for rep in range(max(2, args.repeat)):
-            prof_cm = profiling.collect() if args.profile else contextlib.nullcontext()
-            t0 = time.perf_counter()
-            with prof_cm as prof:
-                mps = slater.C_to_MPS(C, {"chi_max": chi})
-                # sync: touch every tensor (async device work lands here)
-                with profiling.stage("device_sync"):
-                    for B in mps._B:
-                        B.block_until_ready()
-            times.append(time.perf_counter() - t0)
+        if "1" in configs:
+            times = []
+            mps = None
+            for rep in range(max(2, args.repeat)):
+                prof_cm = (
+                    profiling.collect() if args.profile else contextlib.nullcontext()
+                )
+                t0 = time.perf_counter()
+                with prof_cm as prof:
+                    mps = slater.C_to_MPS(C, {"chi_max": chi})
+                    # sync: touch every tensor (async device work lands here)
+                    with profiling.stage("device_sync"):
+                        for B in mps._B:
+                            B.block_until_ready()
+                times.append(time.perf_counter() - t0)
+                if args.verbose:
+                    print(f"run {rep}: {times[-1]:.2f}s", file=sys.stderr)
+                if args.profile:
+                    print(prof.report(), file=sys.stderr, flush=True)
+            value = min(times[1:])  # warm runs only
+
+            # cheap quality audit: Schmidt-weighted canonicality residual
+            # (the unweighted max is dominated by borderline truncated states
+            # and is O(1) by construction for any svd_min-truncated
+            # conversion)
+            quality = 0.0
+            import jax.numpy as jnp
+
+            for i in (0, L // 2, L - 1):
+                B = mps.get_B(i, mps.form[i])
+                if mps.form[i] == "A":
+                    g = jnp.einsum("anb,anc->bc", B.conj(), B)
+                    w = jnp.asarray(mps.get_SR(i))
+                else:
+                    g = jnp.einsum("anb,cnb->ac", B, B.conj())
+                    w = jnp.asarray(mps.get_SL(i))
+                resid = w[:, None] * (g - jnp.eye(g.shape[0])) * w[None, :]
+                quality = max(quality, float(jnp.linalg.norm(resid)))
+            extra["canonical_residual"] = quality
+            extra["cold_seconds"] = round(times[0], 4)
+            extra["chi_max_reached"] = mps.chi_max
+
+        aux = {
+            "2": ("pfaffian_kitaev_L64_chi128_seconds", bench_pfaffian_kitaev),
+            "3": ("slater_imps_L128_cell2_chi64_seconds", bench_slater_imps),
+            "4": ("gutzwiller_piflux_W4_L32_chi128_seconds", bench_gutzwiller_piflux),
+        }
+        for key, (name, fn) in aux.items():
+            if key not in configs:
+                continue
+            warm, cold, info = fn(repeat=args.repeat)
+            base = CPU_BASELINE_EXTRA.get(name)
+            extra_metrics[name] = {
+                "value": round(warm, 4),
+                "unit": "s",
+                "vs_baseline": round(base / warm, 3) if base else None,
+                "cold_seconds": round(cold, 4),
+                **info,
+            }
             if args.verbose:
-                print(f"run {rep}: {times[-1]:.2f}s", file=sys.stderr)
-            if args.profile:
-                print(prof.report(), file=sys.stderr, flush=True)
+                print(f"{name}: {warm:.2f}s warm / {cold:.2f}s cold",
+                      file=sys.stderr)
     except Exception as err:  # never leave the driver without a JSON line
         print(f"bench failed: {err!r}", file=sys.stderr)
+        import traceback
+
+        traceback.print_exc()
         print(
             json.dumps(
                 {
                     "metric": f"slater_to_mps_L{L}_chi{chi}_seconds",
-                    "value": None,
+                    "value": round(value, 4) if value else None,
                     "unit": "s",
                     "vs_baseline": None,
                     "error": repr(err)[:200],
+                    "extra_metrics": extra_metrics,
                 }
             )
         )
         return
-    value = min(times[1:])  # warm runs only
-
-    # cheap quality audit: Schmidt-weighted canonicality residual (the
-    # unweighted max is dominated by borderline truncated states and is
-    # O(1) by construction for any svd_min-truncated conversion)
-    quality = 0.0
-    import jax.numpy as jnp
-
-    for i in (0, L // 2, L - 1):
-        B = mps.get_B(i, mps.form[i])
-        if mps.form[i] == "A":
-            g = jnp.einsum("anb,anc->bc", B.conj(), B)
-            w = jnp.asarray(mps.get_SR(i))
-        else:
-            g = jnp.einsum("anb,cnb->ac", B, B.conj())
-            w = jnp.asarray(mps.get_SL(i))
-        resid = w[:, None] * (g - jnp.eye(g.shape[0])) * w[None, :]
-        quality = max(quality, float(jnp.linalg.norm(resid)))
 
     base = CPU_BASELINE_SECONDS.get((L, chi))
     out = {
         "metric": f"slater_to_mps_L{L}_chi{chi}_seconds",
-        "value": round(value, 4),
+        "value": round(value, 4) if value is not None else None,
         "unit": "s",
-        "vs_baseline": round(base / value, 3) if base else None,
+        "vs_baseline": round(base / value, 3) if (base and value) else None,
     }
-    extra = {
-        "device": str(dev),
-        "dtype": args.dtype,
-        "canonical_residual": quality,
-        "cold_seconds": round(times[0], 4),
-        "chi_max_reached": mps.chi_max,
-    }
+    if extra_metrics:
+        out["extra_metrics"] = extra_metrics
     if args.verbose:
         print(json.dumps(extra), file=sys.stderr)
     print(json.dumps(out))

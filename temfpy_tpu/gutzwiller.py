@@ -108,8 +108,15 @@ def _project(
         ]
         tensors.append(P)
         q_bonds.append(new_q_bond(mps.q_bond[2 * i], i, masks[i]))
-        qts.append(0)
+        # the grouped pair inherits the pair's tensor charge: the bond
+        # relabeling shifts cancel between the two bond ends (qL' - qR'
+        # changes by +1, the physical charge 2Sz = N_pair - 1 by -1), so
+        # the residue qL + qp - qR stays the fermionic qtotal sum — e.g.
+        # the per-cell charge offset an iMPS carries on its last tensor
+        qts.append(int(mps.qtotal[2 * i] + mps.qtotal[2 * i + 1]))
     q_bonds.append(new_q_bond(mps.q_bond[2 * L2], L2, masks[L2]))
+    if not any(np.any(q != 0) for q in q_bonds):
+        qts = [0] * L2  # charges dropped: no rule to satisfy
 
     svs = [None] * (L2 + 1)
     svs[0] = np.ones(int(masks[0].sum()))

@@ -167,3 +167,30 @@ def charged_qr(M, q_row, q_col, chinfo: ChargeInfo, qtotal: int = 0):
         q_mid[off : off + k] = qc
         off += k
     return Q, R, q_mid
+
+
+def charged_eigh(rho, q, chinfo: ChargeInfo):
+    """Hermitian eigendecomposition of a charge-block-diagonal matrix,
+    sector by sector (host LAPACK: these are the small, accuracy-critical
+    gauge factorizations).
+
+    Returns (e, U, q_cols): eigenvalues ascending *within* each sector,
+    sectors concatenated in ascending charge order; U columns carry the
+    sector labels ``q_cols``.
+    """
+    rho_h = np.asarray(rho)
+    q = chinfo.make_valid(q)
+    n = rho_h.shape[0]
+    e = np.empty(n, dtype=float)
+    U = np.zeros_like(rho_h)
+    q_cols = np.empty(n, dtype=np.int64)
+    off = 0
+    for qv in np.unique(q):
+        idx = np.nonzero(q == qv)[0]
+        eb, ub = np.linalg.eigh(rho_h[np.ix_(idx, idx)])
+        k = len(idx)
+        e[off : off + k] = eb
+        U[idx, off : off + k] = ub
+        q_cols[off : off + k] = qv
+        off += k
+    return e, U, q_cols

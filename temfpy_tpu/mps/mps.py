@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from ..config import complex_dtype, complex_on_device  # noqa: F401  (x64 side effect)
 from .charges import ChargeInfo, NO_CHARGE, sectors_of
-from .charged_linalg import charged_svd, charged_qr
+from .charged_linalg import charged_eigh, charged_qr, charged_svd
 from ..ops.linalg import robust_eigh, robust_qr, robust_svd
 from .site import Site
 
@@ -499,14 +499,46 @@ class MPS:
         left fixed point diag(S^2); (3) interior bonds: sweep the left
         environment  rho <- T_i^H rho T_i  and diagonalise it at every bond
         (unitary bond rotations preserve right-canonicality), which yields
-        the Schmidt values.  Charge labels are not propagated (the fixed-
-        point gauge mixes sectors); assumes an injective MPS.
+        the Schmidt values.  Bond-charge labels are propagated: the cell
+        transfer map preserves the charge block structure, so the fixed
+        points are masked to their charge-diagonal blocks and every gauge
+        factorization (eigh of the fixed points, the Y X SVD, the LQ sweep,
+        the interior diagonalisations) runs sector by sector — matching the
+        reference's use of TeNPy canonical_form_infinite1, which keeps
+        quantum numbers (gutzwiller.py:473).
         """
         assert not self.finite
         L = self.L
         T = [jnp.asarray(Ti) for Ti in self._B]
         chi = T[0].shape[0]
         dtype = T[0].dtype
+
+        # charge propagation: the cell transfer map preserves the bond-charge
+        # block structure, so every gauge factorization can run sector by
+        # sector and the output keeps its quantum numbers (the reference
+        # keeps them through TeNPy's canonical_form_infinite1,
+        # gutzwiller.py:473).  Requires consistent wrap labels.
+        chinfo = self.chinfo
+        qt = self.qtotal.copy()
+        # the wrap bond may carry a constant per-cell charge drift delta
+        # (q_bond[L] = q_bond[0] + delta elementwise, e.g. the Sz background
+        # of a polarised or offset unit cell); the index partition is then
+        # identical on both wrap labels, which is all the block structure
+        # needs — delta only re-enters when assigning true label values.
+        delta = 0
+        charged = (
+            len(self.q_bond[L]) == len(self.q_bond[0])
+            and any(np.any(np.asarray(q) != 0) for q in self.q_bond)
+        )
+        if charged:
+            dq = np.asarray(self.q_bond[L], np.int64) - np.asarray(
+                self.q_bond[0], np.int64
+            )
+            if dq.size and np.all(dq == dq[0]):
+                delta = int(dq[0])
+            else:
+                charged = False
+        q0_cur = np.asarray(self.q_bond[0]).copy()
 
         def tm_right(X):
             for Ti in reversed(T):
@@ -579,38 +611,70 @@ class MPS:
         # of Y X is rank-deficient and one pass only projects onto the common
         # invariant support; repeating on the reduced cell converges.
         S_host = None
+        q_mid = q0_cur
         for _pass in range(4):
             chi = T[0].shape[0]
             rho_R, lam = dominant(tm_right)
             rho_L, _ = dominant(tm_left)
+            if charged:
+                # exact for a charge-conserving MPS: fixed points are block
+                # diagonal; masking removes cross-sector power-iteration
+                # residue (which does not decay for superselection sectors)
+                mask = jnp.asarray(
+                    chinfo.equal(q0_cur[:, None], q0_cur[None, :])
+                )
+                rho_R = jnp.where(mask, rho_R, 0.0)
+                rho_L = jnp.where(mask, rho_L, 0.0)
 
             # normalise so the cell transfer matrix has dominant eigenvalue 1
             scale = lam ** (-0.5 / L)
             T = [Ti * scale for Ti in T]
 
             # factor the fixed points with spectral clipping
-            eR, UR = robust_eigh(rho_R)
-            eR_h = np.asarray(eR)
+            if charged:
+                eR_h, UR_h, qR_cols = charged_eigh(rho_R, q0_cur, chinfo)
+                UR = jnp.asarray(UR_h)
+                eR = jnp.asarray(eR_h)
+            else:
+                eR, UR = robust_eigh(rho_R)
+                eR_h = np.asarray(eR)
             keepR = eR_h > max(cutoff * eR_h.max(), 0.0)
             X = UR[:, keepR] * jnp.sqrt(eR[keepR])[None, :]  # (chi, kR)
             Xp = (1.0 / jnp.sqrt(eR[keepR]))[:, None] * UR[:, keepR].conj().T
 
-            eL, UL = robust_eigh(rho_L)
-            eL_h = np.asarray(eL)
+            if charged:
+                eL_h, UL_h, qL_cols = charged_eigh(rho_L, q0_cur, chinfo)
+                UL = jnp.asarray(UL_h)
+                eL = jnp.asarray(eL_h)
+            else:
+                eL, UL = robust_eigh(rho_L)
+                eL_h = np.asarray(eL)
             keepL = eL_h > max(cutoff * eL_h.max(), 0.0)
             Y = (UL[:, keepL] * jnp.sqrt(eL[keepL])[None, :]).conj().T  # (kL, chi)
 
-            U, S, Vh = robust_svd(Y @ X, full_matrices=False)
-            S_host = np.asarray(S)
-            keep = S_host > cutoff * S_host.max()
-            r = int(keep.sum())
-            S_host = S_host[:r]
-            S_host = S_host / np.linalg.norm(S_host)
-            V = Vh[:r, :].conj().T  # (kR, r)
+            if charged:
+                qX = qR_cols[keepR]
+                qY = qL_cols[keepL]
+                _U, S_host, Vh_, q_mid, _err = charged_svd(
+                    Y @ X, qY, qX, chinfo, qtotal=0, cutoff=cutoff,
+                    normalize=True,
+                )
+                r = len(S_host)
+                V = Vh_.conj().T  # (kR, r), columns labelled q_mid
+            else:
+                U, S, Vh = robust_svd(Y @ X, full_matrices=False)
+                S_host = np.asarray(S)
+                keep = S_host > cutoff * S_host.max()
+                r = int(keep.sum())
+                S_host = S_host[:r]
+                S_host = S_host / np.linalg.norm(S_host)
+                V = Vh[:r, :].conj().T  # (kR, r)
 
             # boundary gauge: bond0' = V^H X^+ . bond0 ;  bondL' = bondL . X V
             T[0] = jnp.einsum("ra,anb->rnb", V.conj().T @ Xp, T[0])
             T[-1] = jnp.einsum("anb,br->anr", T[-1], X @ V)
+            if charged:
+                q0_cur = chinfo.make_valid(np.asarray(q_mid))
 
             # converged when the whole cell is right-canonical
             E = jnp.eye(T[-1].shape[2], dtype=dtype)
@@ -627,10 +691,25 @@ class MPS:
         # right-to-left LQ sweep: make each interior tensor individually
         # right-canonical (the whole cell already is, so T[0] ends up
         # right-canonical automatically)
+        q_cur = (
+            [q0_cur]
+            + [np.asarray(self.q_bond[i]).copy() for i in range(1, L)]
+            + [q0_cur + delta]
+        )
         for i in reversed(range(1, L)):
             a, d, b = T[i].shape
             M = T[i].reshape(a, d * b)
-            Q_t, R_t = robust_qr(M.conj().T)  # M = R^H Q^H
+            if charged:
+                qp = np.asarray(self.sites[i].charges, np.int64)
+                q_colM = chinfo.make_valid(
+                    (q_cur[i + 1][None, :] - qp[:, None] + qt[i]).reshape(-1)
+                )
+                Q_t, R_t, q_mid_i = charged_qr(
+                    M.conj().T, q_colM, q_cur[i], chinfo, qtotal=0
+                )
+                q_cur[i] = chinfo.make_valid(np.asarray(q_mid_i))
+            else:
+                Q_t, R_t = robust_qr(M.conj().T)  # M = R^H Q^H
             T[i] = Q_t.conj().T.reshape(-1, d, b)
             T[i - 1] = jnp.einsum("anb,bc->anc", T[i - 1], R_t.conj().T)
 
@@ -641,12 +720,21 @@ class MPS:
         for i in range(L - 1):
             rho = jnp.einsum("ab,anc,bnd->cd", rho, T[i], T[i].conj())
             rho = (rho + rho.conj().T) / 2
-            e, W = robust_eigh(rho)
-            e_h = np.clip(np.asarray(e), 0.0, None)
-            # descending order for conventional Schmidt ordering
-            order = jnp.asarray(np.argsort(e_h)[::-1].copy())
-            W = W[:, order]
-            e_h = e_h[np.asarray(order)]
+            if charged:
+                e_h2, W_h, qW = charged_eigh(rho, q_cur[i + 1], chinfo)
+                e_h = np.clip(e_h2, 0.0, None)
+                # (charge asc, value desc) ordering, matching charged_svd
+                order_h = np.lexsort((-e_h, qW))
+                W = jnp.asarray(W_h)[:, jnp.asarray(order_h)]
+                e_h = e_h[order_h]
+                q_cur[i + 1] = qW[order_h]
+            else:
+                e, W = robust_eigh(rho)
+                e_h = np.clip(np.asarray(e), 0.0, None)
+                # descending order for conventional Schmidt ordering
+                order = jnp.asarray(np.argsort(e_h)[::-1].copy())
+                W = W[:, order]
+                e_h = e_h[np.asarray(order)]
             T[i] = jnp.einsum("anb,bc->anc", T[i], W)
             T[i + 1] = jnp.einsum("ba,bnc->anc", W.conj(), T[i + 1])
             s = np.sqrt(e_h)
@@ -657,10 +745,14 @@ class MPS:
         self._B = T
         self._S = S_list
         self.form = ["B"] * L
-        self.q_bond = [np.zeros(Ti.shape[0], np.int64) for Ti in T] + [
-            np.zeros(T[-1].shape[2], np.int64)
-        ]
-        self.qtotal = np.zeros(L, np.int64)
+        if charged:
+            self.q_bond = [np.asarray(q).copy() for q in q_cur]
+            self.qtotal = qt
+        else:
+            self.q_bond = [np.zeros(Ti.shape[0], np.int64) for Ti in T] + [
+                np.zeros(T[-1].shape[2], np.int64)
+            ]
+            self.qtotal = np.zeros(L, np.int64)
         return self
 
     def __repr__(self):

@@ -60,6 +60,25 @@ def test_spinful_H_to_iMPS_and_infinite_gutzwiller():
     # entanglement spectrum is finite and nontrivial
     ent = spin.entanglement_entropy()
     assert np.all(np.isfinite(ent)) and ent.max() > 1e-3
+    # the infinite canonicalization preserves the Sz quantum numbers (the
+    # reference keeps them through TeNPy canonical_form_infinite1,
+    # gutzwiller.py:473): bond labels must span several sectors ...
+    assert any(len(np.unique(q)) > 1 for q in spin.q_bond)
+    # ... the wrap bond must be consistent (up to the constant per-cell
+    # charge drift carried by the unit cell) ...
+    dq = spin.q_bond[spin.L] - spin.q_bond[0]
+    assert dq.size and np.all(dq == dq[0])
+    # ... the labels must be consistent with the tensors (charge rule) ...
+    for i in range(spin.L):
+        B = np.asarray(spin._B[i])
+        qL = spin.q_bond[i][:, None, None]
+        qp = np.asarray(spin.sites[i].charges)[None, :, None]
+        qR = spin.q_bond[i + 1][None, None, :]
+        bad = (qL + qp - qR - spin.qtotal[i]) != 0
+        assert np.abs(B[bad]).max() < 1e-10 if bad.any() else True
+    # ... and the per-charge entanglement spectrum is resolvable
+    by_charge = spin.entanglement_spectrum(by_charge=True)
+    assert len(by_charge[0]) > 1  # more than one Sz sector on the bond
 
 
 def test_sector_restricted_C_to_MPS():
