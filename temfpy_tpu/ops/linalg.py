@@ -464,9 +464,8 @@ def _onehot_select_real(Mr, Eb, Ek, spec_b, spec_k):
 
 
 def _onehot_select(M, idx_b, idx_k, cross: bool):
-    mt = M.shape[0]
-    Eb = jax.nn.one_hot(idx_b, mt, dtype=jnp.float32)
-    Ek = jax.nn.one_hot(idx_k, mt, dtype=jnp.float32)
+    Eb = jax.nn.one_hot(idx_b, M.shape[0], dtype=jnp.float32)
+    Ek = jax.nn.one_hot(idx_k, M.shape[1], dtype=jnp.float32)
     if cross:  # sub[b, k, s, t] = M[idx_b[b, s], idx_k[k, t]]
         spec_b, spec_k = "bsm,mn->bsn", "bsn,ktn->bkst"
     else:  # sub[p, s, t] = M[idx_b[p, s], idx_k[p, t]]
@@ -658,3 +657,142 @@ def _block_svd_host(CLR, vL, vR, e, degeneracy_tol):
         vL[:, idx] = np.einsum("idk,dkj->idj", vL_blk, U)
         vR[:, idx] = np.einsum("idk,djk->idj", vR_blk, Vh.conj())
     return vL, vR
+
+
+# --------------------------------------------------------------------------
+# Rank-update determinant evaluation
+#
+# Within one excitation class, every (bra, ket) pair selects a w-row/column
+# submatrix of the parent M that differs from a per-class BASE pair
+# (R0, C0) by only a few swapped rows/columns (measured: >98% of pairs are
+# within swap distance 4 of the majority base).  With A = M[R0, C0],
+# G = A^{-1} and three precomputed tables, every pair's determinant reduces
+# to det(M[R, C]) = +- det(A) * det(S) with S an (a+b) x (a+b) matrix
+# (a/b = swapped row/column counts) assembled purely from gathers:
+#
+#   S = [[ K,                U G V'' ],
+#        [ E_c^T G E_r,  I_b + E_c^T G V'' ]]
+#
+#   K         = I_a + (P[Rin] - P[Rout])[:, rpos]
+#   E_c^T G E_r = G[cpos, rpos]
+#   E_c^T G V'' = T2[cpos, Cin] - T2[cpos, Cout] + G[cpos, rpos] @ D12
+#   U G V''     = (T3 diffs over {Rin,Rout} x {Cin,Cout}) + (K - I) @ D12
+#   D12       = M[Rin,Cin] - M[Rout,Cin] - M[Rin,Cout] + M[Rout,Cout]
+#
+# with P = M[:, C0] G, T2 = G M[R0, :], T3 = P M[R0, :].  This replaces the
+# O(w^3) LU per pair by an O(s^3) one (s = a + b bucketed), a measured
+# ~10x flops reduction on the conversion's det batches.  a/b are padded to
+# shape buckets by SELF-swaps (Rin = Rout), which leave det(S) exactly
+# unchanged (the padded row of [K | Z] is a unit row).
+# --------------------------------------------------------------------------
+
+
+@jax.jit
+def det_swap_tables(M_aug, r0, c0):
+    """Per-class base factorization and gather tables.
+
+    ``M_aug`` is the identity-extended parent (block_diag_identity_pad);
+    ``r0``/``c0`` are the (w_b,) base row/column positions, padded with the
+    shared sentinel tail so A = block_diag(A_true, I).
+
+    Returns (D0, G, P, T2, T3)."""
+    A = gather_submatrices(M_aug, r0[None, :], c0[None, :])[0]
+    eye = jnp.eye(A.shape[0], dtype=A.dtype)
+    D0, G = gauss_solve_det(A, eye)
+    Mc = M_aug[:, c0]  # (m_aug, w)
+    Mr = M_aug[r0, :]  # (w, m_aug)
+    P = Mc @ G
+    T2 = G @ Mr
+    T3 = P @ Mr
+    return D0, G, P, T2, T3
+
+
+def _bmm_small(A, B):
+    """(P, i, j) x (P, j, k) batched matmul for tiny i/j/k, lowered as a
+    broadcast-multiply-reduce (elementwise VPU work; avoids batch-major
+    f64 dot ops, which are software-emulated on TPU)."""
+    return (A[:, :, :, None] * B[:, None, :, :]).sum(axis=2)
+
+
+def _det_swaps_body(M_aug, G, P, T2, T3, D0, sign,
+                    rin, rout, rpos, cin, cout, cpos):
+    a = rin.shape[1]
+    b = cin.shape[1]
+    Pn = rin.shape[0]
+    gs = gather_submatrices
+    eye_a = jnp.eye(a, dtype=M_aug.dtype)[None]
+    eye_b = jnp.eye(b, dtype=M_aug.dtype)[None]
+    K = eye_a + gs(P, rin, rpos) - gs(P, rout, rpos)  # (P, a, a)
+    Gcr = gs(G, cpos, rpos)  # (P, b, a)
+    D12 = (
+        gs(M_aug, rin, cin) - gs(M_aug, rout, cin)
+        - gs(M_aug, rin, cout) + gs(M_aug, rout, cout)
+    )  # (P, a, b)
+    X = gs(T2, cpos, cin) - gs(T2, cpos, cout) + _bmm_small(Gcr, D12)
+    Z = (
+        gs(T3, rin, cin) - gs(T3, rout, cin)
+        - gs(T3, rin, cout) + gs(T3, rout, cout)
+    ) + _bmm_small(K - eye_a, D12)
+    top = jnp.concatenate([K, Z], axis=2)
+    bottom = jnp.concatenate([Gcr, eye_b + X], axis=2)
+    S = jnp.concatenate([top, bottom], axis=1)  # (P, a+b, a+b)
+    return lu_det(S) * D0 * sign
+
+
+def _fill_swaps_impl(M_aug, det_always, D0, G, P, T2, T3, sign,
+                     rin, rout, rpos, cin, cout, cpos, scat, check_sel,
+                     *, shape):
+    """Fused rank-update fill: assemble all pairs' S matrices by gathers,
+    evaluate the (P_b, s, s) determinant batch, scale, scatter into the
+    dense tensor (trash slot absorbs batch padding).  Also returns the raw
+    pair values at ``check_sel`` for the runtime cross-check against the
+    direct path."""
+    vals = _det_swaps_body(
+        M_aug, G, P, T2, T3, D0, sign, rin, rout, rpos, cin, cout, cpos
+    ) * det_always
+    T = jnp.zeros((shape[0] + 1,) + tuple(shape[1:]), vals.dtype)
+    T = T.at[scat].set(vals)
+    return T[: shape[0]], vals[check_sel]
+
+
+_fill_swaps_kernel = partial(jax.jit, static_argnames=("shape",))(
+    _fill_swaps_impl
+)
+
+
+@jax.jit
+def _det_check_impl(M_aug, det_always, idx_b, idx_k):
+    """Direct determinants of a small pair subset (the cross-check oracle
+    for the rank-update path)."""
+    sub = gather_submatrices(M_aug, idx_b, idx_k)
+    return lu_det(sub) * det_always
+
+
+def perm_parity_rows(base: np.ndarray, rpos: np.ndarray, rin: np.ndarray):
+    """Host: parity signs of in-place row replacement vs sorted order.
+
+    ``base`` is the sorted (w,) base position array; row r of ``rpos``/
+    ``rin`` replaces base[rpos[r, j]] by rin[r, j] (self-swaps allowed).
+    Returns (n,) float signs."""
+    n, a = rin.shape
+    signs = np.ones(n)
+    for r in range(n):
+        arr = base.copy()
+        arr[rpos[r]] = rin[r]
+        order = np.argsort(arr, kind="stable")
+        # cycle-count parity of the permutation
+        seen = np.zeros(len(arr), bool)
+        sign = 1
+        for i in range(len(arr)):
+            if seen[i]:
+                continue
+            j = i
+            clen = 0
+            while not seen[j]:
+                seen[j] = True
+                j = order[j]
+                clen += 1
+            if clen % 2 == 0:
+                sign = -sign
+        signs[r] = sign
+    return signs

@@ -35,7 +35,16 @@ import jax.numpy as jnp
 
 from .config import DIAG_TOL as _DIAG_TOL
 from .mps import MPS, FermionSite
-from .ops.linalg import block_svd, eigh_blocks, gauss_solve_det, robust_eigh
+from .ops.linalg import (
+    block_svd,
+    det_swap_tables,
+    eigh_blocks,
+    gauss_solve_det,
+    perm_parity_rows,
+    robust_eigh,
+    _det_check_impl,
+    _fill_swaps_kernel,
+)
 from .schmidt_utils import lowest_sums, to_stopping_condition
 from . import profiling
 from .testing import assert_allclose, check_schmidt_decomposition
@@ -589,6 +598,26 @@ def _occupation_indices(sets: np.ndarray, width: int, sentinel_base: int):
     return idx.astype(np.int32), counts
 
 
+_N_CHECK = 32
+"""Pairs per swap bucket cross-checked against the direct determinant path
+at every materialisation (guards against an ill-conditioned class base)."""
+
+
+def _use_det_updates() -> bool:
+    import os
+
+    return os.environ.get("TEMFPY_TPU_DET_UPDATES", "1") != "0"
+
+
+def _bucket_swaps(a: int) -> int | None:
+    """Shape bucket of a swap count; None = too far from the base (the pair
+    is cheaper through the direct path)."""
+    for b in (1, 2, 4, 8):
+        if a <= b:
+            return b
+    return None
+
+
 @jax.jit
 def _take_frame(batch, i):
     """batch[i] with a traced index: ONE compiled gather serves every cut
@@ -668,6 +697,13 @@ def _fill_impl(M, det_always, idx_b, idx_k, scat, *, shape):
 _fill_kernel = partial(jax.jit, static_argnames=("shape",))(_fill_impl)
 
 
+@partial(jax.jit, static_argnames=("pad",))
+def _aug_kernel(M, pad):
+    from .ops.linalg import block_diag_identity_pad
+
+    return block_diag_identity_pad(M, pad)
+
+
 @partial(jax.jit, static_argnames=("shape",))
 def _fill_group(M, det_always, idx_b, idx_k, scat, *, shape):
     """vmapped :func:`_fill_impl` over a group of sites sharing one bucket."""
@@ -721,17 +757,31 @@ class MPSTensorData:
                    **plan["fields"])
 
 
+    def _scatter_ix(self, rows, cols):
+        """Dense-tensor scatter coordinates of the (bra-row, ket-col) pairs."""
+        if not self.physical_leg:
+            return (self.bra_beta[rows], cols)
+        if self.mode == "left":
+            return (self.bra_beta[rows], self.bra_phys[rows], cols)
+        return (cols, self.bra_phys[rows], self.bra_beta[rows])
+
     def _plan_fill(self):
         """Host-side planning of the tensor fill.
 
-        Returns (shape, q_l, q_r, plans) where plans is a (possibly empty)
-        list of (idx_b, idx_k, scat) int-array triples, one per determinant
-        *width bucket*: pairs in excitation class c only need (c, c)
-        determinants, so classes are grouped by c rounded up to {4, 8, 16,
-        24, ...} instead of all padding to the site maximum — the batched LU
-        cost scales with the true w^3 per class, not max(w)^3.  Each triple
-        carries a bucketed batch length P_b; the partial tensors of one site
-        scatter into disjoint entries and are summed by the caller."""
+        Returns (shape, q_l, q_r, plans) where each plan is a dict:
+
+        - kind "direct": (idx_b, idx_k, scat) — the identity-padded batched
+          LU path, one plan per determinant *width bucket* (pairs in
+          excitation class c only need (c, c) determinants, so the batched
+          LU cost scales with the true w^3 per class).
+        - kind "swap": the rank-update path — per-class base factorization
+          plus per-pair swap indices bucketed by (a, b); the O(w^3) LU per
+          pair becomes O((a+b)^3) (cf. ops.linalg._det_swaps_body).  Carries
+          a strided direct-path cross-check subset and a full direct
+          fallback used if the runtime check fails (ill-conditioned base).
+
+        Partial tensors of one site scatter into disjoint entries and are
+        summed by the caller."""
         nb = len(self.q_bra)
         nk = len(self.q_ket)
         if self.mode == "left" or not self.physical_leg:
@@ -748,85 +798,359 @@ class MPSTensorData:
         else:
             shape = (nb, nk)
 
-        # matched pairs (equal particle count over the sometimes orbitals),
-        # grouped into width buckets
-        buckets: dict[int, tuple[list, list]] = {}
+        use_swap = _use_det_updates()
+
+        # matched pairs (equal particle count over the sometimes orbitals);
+        # "near" pairs of large classes go through the rank-update path,
+        # everything else through direct width buckets
+        direct: dict[int, tuple[list, list]] = {}
+        plans = []
         for c in np.unique(cnt_bra):
             rows = np.nonzero(cnt_bra == c)[0]
             cols = np.nonzero(cnt_ket == c)[0]
-            if rows.size and cols.size:
-                w_b = 4 if c <= 4 else -(-int(c) // 8) * 8
-                r_l, c_l = buckets.setdefault(w_b, ([], []))
+            if not (rows.size and cols.size):
+                continue
+            c = int(c)
+            w_b = 4 if c <= 4 else -(-c // 8) * 8
+            if not (use_swap and c > 4 and rows.size * cols.size >= 64):
+                r_l, c_l = direct.setdefault(w_b, ([], []))
                 r_l.append(np.repeat(rows, cols.size))
                 c_l.append(np.tile(cols, rows.size))
+                continue
+            swap_plan, far = self._plan_swap_class(c, w_b, rows, cols, m, shape)
+            if swap_plan is not None:
+                plans.append(swap_plan)
+            if far is not None:
+                r_l, c_l = direct.setdefault(w_b, ([], []))
+                r_l.append(far[0])
+                c_l.append(far[1])
 
-        plans = []
-        for w_b in sorted(buckets):
-            r_l, c_l = buckets[w_b]
+        for w_b in sorted(direct):
+            r_l, c_l = direct[w_b]
             rows = np.concatenate(r_l)
             cols = np.concatenate(c_l)
-            P = len(rows)
+            idx_b, idx_k, scat = self._direct_arrays(rows, cols, w_b, m, shape)
+            plans.append({"kind": "direct", "idx_b": idx_b, "idx_k": idx_k,
+                          "scat": scat})
+        return shape, q_l, q_r, plans
+
+    def _direct_arrays(self, rows, cols, w_b, m, shape, pad_batch=True):
+        """(idx_b, idx_k, scat) arrays of the direct identity-padded path."""
+        P = len(rows)
+        P_b = max(256, 1 << int(np.ceil(np.log2(P)))) if pad_batch else P
+
+        # occupation->index rows computed once per unique bond index
+        ub = np.unique(rows)
+        uk = np.unique(cols)
+        occ_b, _ = _occupation_indices(self.sets_bra[ub], w_b, m)
+        occ_k, _ = _occupation_indices(self.sets_ket[uk], w_b, m)
+        idx_b_rows = occ_b[np.searchsorted(ub, rows)]
+        idx_k_cols = occ_k[np.searchsorted(uk, cols)]
+
+        # padded gather indices (dummies are all-sentinel: det = 1)
+        pad_row = m + np.arange(w_b, dtype=np.int32)
+        idx_b = np.concatenate(
+            [idx_b_rows, np.broadcast_to(pad_row, (P_b - P, w_b))]
+        )
+        idx_k = np.concatenate(
+            [idx_k_cols, np.broadcast_to(pad_row, (P_b - P, w_b))]
+        )
+
+        # padded scatter indices (dummies route to the trash slot shape[0])
+        scat = []
+        for ax, arr in enumerate(self._scatter_ix(rows, cols)):
+            full = np.full(P_b, shape[0] if ax == 0 else 0, dtype=np.int32)
+            full[:P] = arr
+            scat.append(full)
+        return idx_b, idx_k, np.stack(scat)
+
+    def _plan_swap_class(self, c, w_b, rows, cols, m, shape):
+        """Rank-update plan of one excitation class (see _plan_fill)."""
+        sets_b = self.sets_bra[rows]
+        sets_k = self.sets_ket[cols]
+
+        # common majority base: bra and ket entangled modes of consecutive
+        # cuts are canonically aligned (descending lambda, block_svd-paired),
+        # so using the SAME top-c positions on both sides makes the base
+        # overlap M[base, base] near-diagonal — per-side majorities can pick
+        # mismatched (near-orthogonal, singular) sets.  The runtime
+        # cross-check + direct fallback still guards the residual cases.
+        freq = (
+            sets_b.sum(axis=0) / max(len(sets_b), 1)
+            + sets_k.sum(axis=0) / max(len(sets_k), 1)
+        )
+        base_b = np.sort(np.argsort(freq)[::-1][:c])
+        base_k = base_b.copy()
+        mask_b = np.zeros(m, bool)
+        mask_b[base_b] = True
+        mask_k = np.zeros(m, bool)
+        mask_k[base_k] = True
+
+        def side_arrays(sets, base_pos, base_mask):
+            """Per unique row: (a_real, bucket, rin, rout, rpos, sign)."""
+            n = len(sets)
+            a_real = (sets & ~base_mask).sum(axis=1)
+            out = []
+            for r in range(n):
+                a = int(a_real[r])
+                a_b = _bucket_swaps(a)
+                if a_b is None or a_b > c:
+                    out.append(None)  # far row
+                    continue
+                rout_g = base_pos[~sets[r][base_pos]]
+                rin_g = np.nonzero(sets[r] & ~base_mask)[0]
+                rpos = np.searchsorted(base_pos, rout_g)
+                n_pad = a_b - a
+                if n_pad:
+                    kept_loc = np.nonzero(sets[r][base_pos])[0][:n_pad]
+                    if len(kept_loc) < n_pad:
+                        out.append(None)
+                        continue
+                    pad_g = base_pos[kept_loc]
+                    rout_g = np.concatenate([rout_g, pad_g])
+                    rin_g = np.concatenate([rin_g, pad_g])
+                    rpos = np.concatenate([rpos, kept_loc])
+                out.append((a_b, rin_g.astype(np.int32),
+                            rout_g.astype(np.int32), rpos.astype(np.int32)))
+            return a_real, out
+
+        _, row_info = side_arrays(sets_b, base_b, mask_b)
+        _, col_info = side_arrays(sets_k, base_k, mask_k)
+
+        # per-row/col permutation signs (in-place replacement vs sorted)
+        def row_sign(info, base_pos):
+            if info is None:
+                return 1.0
+            _, rin, rout, rpos = info
+            return float(perm_parity_rows(
+                base_pos, rpos[None, :], rin[None, :]
+            )[0])
+
+        sign_r = np.array([row_sign(o, base_b) for o in row_info])
+        sign_c = np.array([row_sign(o, base_k) for o in col_info])
+
+        # pair buckets keyed by (a_b, b_b); far pairs go to the direct path
+        buckets: dict[tuple[int, int], tuple[list, list]] = {}
+        far_rows, far_cols = [], []
+        ok_r = np.array([o is not None for o in row_info])
+        ok_c = np.array([o is not None for o in col_info])
+        ab_r = np.array([o[0] if o else 0 for o in row_info])
+        ab_c = np.array([o[0] if o else 0 for o in col_info])
+        for ri in range(len(rows)):
+            if not ok_r[ri]:
+                far_rows.append(np.full(len(cols), rows[ri]))
+                far_cols.append(cols)
+                continue
+            good = ok_c
+            if not good.all():
+                far_rows.append(np.full((~good).sum(), rows[ri]))
+                far_cols.append(cols[~good])
+            for b_b in np.unique(ab_c[good]):
+                sel = good & (ab_c == b_b)
+                key = (int(ab_r[ri]), int(b_b))
+                r_l, c_l = buckets.setdefault(key, ([], []))
+                r_l.append(np.full(int(sel.sum()), ri))
+                c_l.append(np.nonzero(sel)[0])
+
+        sub_plans = []
+        for (a_b, b_b), (r_l, c_l) in sorted(buckets.items()):
+            ri = np.concatenate(r_l)
+            ci = np.concatenate(c_l)
+            P = len(ri)
             P_b = max(256, 1 << int(np.ceil(np.log2(P))))
+            rin = np.stack([row_info[r][1] for r in np.arange(len(rows))
+                            if row_info[r] and row_info[r][0] == a_b])
+            # map ri -> compacted row table
+            rsel = np.array([r for r in range(len(rows))
+                             if row_info[r] and row_info[r][0] == a_b])
+            rmap = np.searchsorted(rsel, ri)
+            rout = np.stack([row_info[r][2] for r in rsel])
+            rpos = np.stack([row_info[r][3] for r in rsel])
+            csel = np.array([q for q in range(len(cols))
+                             if col_info[q] and col_info[q][0] == b_b])
+            cmap = np.searchsorted(csel, ci)
+            cin = np.stack([col_info[q][1] for q in csel])
+            cout = np.stack([col_info[q][2] for q in csel])
+            cpos = np.stack([col_info[q][3] for q in csel])
 
-            # occupation->index rows computed once per unique bond index
-            ub = np.unique(rows)
-            uk = np.unique(cols)
-            occ_b, _ = _occupation_indices(self.sets_bra[ub], w_b, m)
-            occ_k, _ = _occupation_indices(self.sets_ket[uk], w_b, m)
-            idx_b_rows = occ_b[np.searchsorted(ub, rows)]
-            idx_k_cols = occ_k[np.searchsorted(uk, cols)]
+            def padP(arr, fill_row):
+                return np.concatenate(
+                    [arr, np.broadcast_to(fill_row, (P_b - P,) + fill_row.shape)]
+                )
 
-            # padded gather indices (dummies are all-sentinel: det = 1)
-            pad_row = m + np.arange(w_b, dtype=np.int32)
-            idx_b = np.concatenate(
-                [idx_b_rows, np.broadcast_to(pad_row, (P_b - P, w_b))]
-            )
-            idx_k = np.concatenate(
-                [idx_k_cols, np.broadcast_to(pad_row, (P_b - P, w_b))]
-            )
-
-            # padded scatter indices (dummies route to the trash slot shape[0])
-            if not self.physical_leg:
-                ix = (self.bra_beta[rows], cols)
-            elif self.mode == "left":
-                ix = (self.bra_beta[rows], self.bra_phys[rows], cols)
-            else:
-                ix = (cols, self.bra_phys[rows], self.bra_beta[rows])
+            # batch padding: all-self-swap rows (value D0*sign -> trash slot)
+            pad_r = np.stack([base_b[np.arange(a_b)], base_b[np.arange(a_b)],
+                              np.arange(a_b)])
+            pad_c = np.stack([base_k[np.arange(b_b)], base_k[np.arange(b_b)],
+                              np.arange(b_b)])
+            plan = {
+                "kind": "swap",
+                "rin": padP(rin[rmap], pad_r[0]).astype(np.int32),
+                "rout": padP(rout[rmap], pad_r[1]).astype(np.int32),
+                "rpos": padP(rpos[rmap], pad_r[2]).astype(np.int32),
+                "cin": padP(cin[cmap], pad_c[0]).astype(np.int32),
+                "cout": padP(cout[cmap], pad_c[1]).astype(np.int32),
+                "cpos": padP(cpos[cmap], pad_c[2]).astype(np.int32),
+                "sign": np.concatenate(
+                    [sign_r[rsel][rmap] * sign_c[csel][cmap], np.ones(P_b - P)]
+                ),
+            }
+            # scatter coords
+            g_rows = rows[rsel][rmap]
+            g_cols = cols[csel][cmap]
             scat = []
-            for ax, arr in enumerate(ix):
+            for ax, arr in enumerate(self._scatter_ix(g_rows, g_cols)):
                 full = np.full(P_b, shape[0] if ax == 0 else 0, dtype=np.int32)
                 full[:P] = arr
                 scat.append(full)
-            plans.append((idx_b, idx_k, np.stack(scat)))
-        return shape, q_l, q_r, plans
+            plan["scat"] = np.stack(scat)
+            plan["rows"] = g_rows
+            plan["cols"] = g_cols
+            # cross-check subset (strided through the real pairs; may
+            # repeat for tiny batches -- fixed size keeps one executable)
+            chk = np.linspace(0, P - 1, _N_CHECK).astype(int)
+            plan["check_sel"] = chk
+            chk_idx_b, chk_idx_k, _ = self._direct_arrays(
+                g_rows[chk], g_cols[chk], w_b, m, shape, pad_batch=False
+            )
+            plan["check_idx_b"] = chk_idx_b
+            plan["check_idx_k"] = chk_idx_k
+            sub_plans.append(plan)
+
+        far = None
+        if far_rows:
+            far = (np.concatenate(far_rows), np.concatenate(far_cols))
+
+        if not sub_plans:
+            return None, far
+
+        # shared per-class base data (sentinel-padded to the width bucket)
+        sent = m + np.arange(w_b - c, dtype=np.int32)
+        r0 = np.concatenate([base_b.astype(np.int32), sent])
+        c0 = np.concatenate([base_k.astype(np.int32), sent])
+        plan = {
+            "kind": "swap_class",
+            "w_b": w_b,
+            "r0": r0,
+            "c0": c0,
+            "sub": sub_plans,
+            "m": m,
+        }
+        return plan, far
+
+    def dispatch_fill(self, shape, plans):
+        """Dispatches every plan's device work without synchronising.
+
+        Returns (parts, classes): ``parts`` are unconditional partial-tensor
+        handles; ``classes`` carry the rank-update partials together with
+        their cross-check handles and fallback info, resolved (and possibly
+        recomputed through the direct path) at materialisation time by
+        :meth:`resolve_fill`."""
+        parts = []
+        classes = []
+        for plan in plans:
+            if plan["kind"] == "direct":
+                parts.append(_fill_kernel(
+                    self.sometimes_matrix, self.det_always,
+                    jnp.asarray(plan["idx_b"]), jnp.asarray(plan["idx_k"]),
+                    tuple(jnp.asarray(x) for x in plan["scat"]),
+                    shape=shape,
+                ))
+                continue
+            w_b = plan["w_b"]
+            M_aug = _aug_kernel(self.sometimes_matrix, pad=w_b)
+            D0, G, Pt, T2, T3 = det_swap_tables(
+                M_aug, jnp.asarray(plan["r0"]), jnp.asarray(plan["c0"])
+            )
+            centry = {"parts": [], "checks": [], "plan": plan}
+            for sub in plan["sub"]:
+                Tp, chk_swap = _fill_swaps_kernel(
+                    M_aug, self.det_always, D0, G, Pt, T2, T3,
+                    jnp.asarray(sub["sign"]),
+                    jnp.asarray(sub["rin"]), jnp.asarray(sub["rout"]),
+                    jnp.asarray(sub["rpos"]),
+                    jnp.asarray(sub["cin"]), jnp.asarray(sub["cout"]),
+                    jnp.asarray(sub["cpos"]),
+                    tuple(jnp.asarray(x) for x in sub["scat"]),
+                    jnp.asarray(sub["check_sel"], dtype=jnp.int32),
+                    shape=shape,
+                )
+                chk_dir = _det_check_impl(
+                    M_aug, self.det_always,
+                    jnp.asarray(sub["check_idx_b"]),
+                    jnp.asarray(sub["check_idx_k"]),
+                )
+                centry["parts"].append(Tp)
+                centry["checks"].append((chk_swap, chk_dir))
+            classes.append(centry)
+        return parts, classes
+
+    def resolve_fill(self, shape, parts, classes):
+        """Sums the partial tensors, validating each rank-update class
+        against its direct-path cross-check (recomputing the class through
+        the direct kernel if the base factorization was ill-conditioned)."""
+        T = None
+
+        def add(T, X):
+            return X if T is None else T + X
+
+        for p in parts:
+            T = add(T, p)
+        for ce in classes:
+            # one scale for the whole class: sub-buckets whose checked pairs
+            # are all numerically-zero determinants must not fail on float
+            # noise relative to their own tiny magnitudes
+            scale = 1e-300
+            pairs = [(np.asarray(a), np.asarray(d)) for a, d in ce["checks"]]
+            for _a, d in pairs:
+                scale = max(scale, float(np.abs(d).max()))
+            ok = all(
+                np.all(np.abs(a - d) <= 1e-8 * scale + 1e-8 * np.abs(d))
+                for a, d in pairs
+            )
+
+            if ok:
+                for p in ce["parts"]:
+                    T = add(T, p)
+                continue
+            plan = ce["plan"]
+            logger.warning(
+                "rank-update det cross-check failed (class w=%d); "
+                "recomputing through the direct path", plan["w_b"],
+            )
+            # recompute exactly the pairs the swap sub-plans covered ("far"
+            # pairs of the class were already routed to the direct buckets)
+            fr = np.concatenate([sub["rows"] for sub in plan["sub"]])
+            fc = np.concatenate([sub["cols"] for sub in plan["sub"]])
+            idx_b, idx_k, scat = self._direct_arrays(
+                fr, fc, plan["w_b"], plan["m"], shape,
+            )
+            T = add(T, _fill_kernel(
+                self.sometimes_matrix, self.det_always,
+                jnp.asarray(idx_b), jnp.asarray(idx_k),
+                tuple(jnp.asarray(x) for x in scat),
+                shape=shape,
+            ))
+        if T is None:
+            T = jnp.zeros(shape, dtype=self.sometimes_matrix.dtype)
+        return T
 
     def to_dense_tensor(self, det_chunk: int | None = 65536):
         """The MPS tensor as a dense (chiL, d, chiR) device array with host
         bond-charge labels (replaces reference ``to_npc_array``,
         slater.py:1106-1143).
 
-        The whole fill — gathering submatrices, the batched determinants,
-        the det_always scaling and the scatter into the dense tensor — runs
-        as ONE fused jitted kernel with bucketed shapes.
+        The whole fill — gathering submatrices, the batched determinants
+        (rank-update path for near-base pairs, direct identity-padded LU
+        otherwise), the det_always scaling and the scatter into the dense
+        tensor — runs as fused jitted kernels with bucketed shapes.
 
         Returns (tensor, q_left, q_right, qtotal) for physical_leg=True, or
         (matrix, q_bra, q_ket, qtotal) otherwise.
         """
         shape, q_l, q_r, plans = self._plan_fill()
-        if not plans:
-            Z = jnp.zeros(shape, dtype=self.sometimes_matrix.dtype)
-            return Z, q_l, q_r, self.qtotal
-        T = None
-        for idx_b, idx_k, scat in plans:  # disjoint scatters: sum partials
-            Tb = _fill_kernel(
-                self.sometimes_matrix,
-                self.det_always,
-                jnp.asarray(idx_b),
-                jnp.asarray(idx_k),
-                tuple(jnp.asarray(s) for s in scat),
-                shape=shape,
-            )
-            T = Tb if T is None else T + Tb
+        parts, classes = self.dispatch_fill(shape, plans)
+        T = self.resolve_fill(shape, parts, classes)
         return T, q_l, q_r, self.qtotal
 
 
@@ -1110,6 +1434,7 @@ def build_site_tensors(pairs):
         fill_plans = [d._plan_fill() for d in datas]
     out = [None] * n
     acc: dict = {}  # site -> accumulated partial tensor
+    site_classes: dict = {}  # site -> rank-update class entries (checked)
     fill_groups: dict = {}
     for i, (shape, q_l, q_r, plans) in enumerate(fill_plans):
         if not plans:
@@ -1119,7 +1444,9 @@ def build_site_tensors(pairs):
             )
             continue
         for j, plan in enumerate(plans):
-            key = (shape, plan[0].shape, datas[i].sometimes_matrix.shape)
+            if plan["kind"] != "direct":
+                continue
+            key = (shape, plan["idx_b"].shape, datas[i].sometimes_matrix.shape)
             fill_groups.setdefault(key, []).append((i, j))
 
     # cap group size by the TILE-PADDED footprint of the vmapped LU batch:
@@ -1148,25 +1475,43 @@ def build_site_tensors(pairs):
             plan = fill_plans[i][3][j]
             T = _fill_kernel(
                 datas[i].sometimes_matrix, datas[i].det_always,
-                jnp.asarray(plan[0]), jnp.asarray(plan[1]),
-                tuple(jnp.asarray(s) for s in plan[2]),
+                jnp.asarray(plan["idx_b"]), jnp.asarray(plan["idx_k"]),
+                tuple(jnp.asarray(s) for s in plan["scat"]),
                 shape=shape,
             )
             _accumulate(i, T)
         else:
             M = jnp.stack([datas[i].sometimes_matrix for i, _ in entries])
             det = jnp.stack([datas[i].det_always for i, _ in entries])
-            ib = jnp.asarray(np.stack([fill_plans[i][3][j][0] for i, j in entries]))
-            ik = jnp.asarray(np.stack([fill_plans[i][3][j][1] for i, j in entries]))
-            sc = np.stack([fill_plans[i][3][j][2] for i, j in entries])  # (G, naxes, P)
+            ib = jnp.asarray(
+                np.stack([fill_plans[i][3][j]["idx_b"] for i, j in entries])
+            )
+            ik = jnp.asarray(
+                np.stack([fill_plans[i][3][j]["idx_k"] for i, j in entries])
+            )
+            sc = np.stack(
+                [fill_plans[i][3][j]["scat"] for i, j in entries]
+            )  # (G, naxes, P)
             scat = tuple(jnp.asarray(sc[:, a]) for a in range(sc.shape[1]))
             T_s = _fill_group(M, det, ib, ik, scat, shape=shape)
             for T, (i, _j) in zip(_unstack(T_s), entries):
                 _accumulate(i, T)
-    _fg.__exit__(None, None, None)
+
+    # rank-update (swap) classes: dispatched per site, checked at resolve
     for i, (shape, q_l, q_r, plans) in enumerate(fill_plans):
-        if out[i] is None:
-            out[i] = (acc[i], q_l, q_r, datas[i].qtotal)
+        swap_plans = [p for p in plans if p["kind"] != "direct"]
+        if swap_plans:
+            _parts, classes = datas[i].dispatch_fill(shape, swap_plans)
+            site_classes[i] = classes
+    _fg.__exit__(None, None, None)
+
+    with profiling.stage("fill/resolve"):
+        for i, (shape, q_l, q_r, plans) in enumerate(fill_plans):
+            if out[i] is not None:
+                continue
+            parts = [acc[i]] if i in acc else []
+            T = datas[i].resolve_fill(shape, parts, site_classes.get(i, []))
+            out[i] = (T, q_l, q_r, datas[i].qtotal)
     return out
 
 
