@@ -170,6 +170,19 @@ def eigh_blocks(C, sizes, side: str = "L", chunk: int | None = None):
     if _use_host_eigh() or (np.iscomplexobj(C) and not complex_on_device()):
         return _eigh_blocks_host(C, sizes, side)
     C = jnp.asarray(C)
+    from ..parallel import mesh as _pmesh
+
+    m = _pmesh.active_mesh()
+    if m is not None and "cuts" in m.shape:
+        n_ax = m.shape["cuts"]
+        n = sizes.shape[0]
+        pad = (-n) % n_ax
+        if pad:
+            sizes = jnp.concatenate([sizes, jnp.ones((pad,), jnp.int32)])
+        e, v = _eigh_blocks_impl(
+            _pmesh.replicate(C), _pmesh.shard_batch(sizes, "cuts"), side
+        )
+        return (e[:n], v[:n]) if pad else (e, v)
     if chunk is None or sizes.shape[0] <= chunk:
         return _eigh_blocks_impl(C, sizes, side)
     es, vs = [], []

@@ -316,6 +316,11 @@ def batched_pfaffian_pairs_split(Nr, Ni, idx, pad_slots: int, chunk: int | None 
         ).at[..., :m, :m].set(Ni)
     else:
         Nr_aug, Ni_aug = Nr, Ni
+    from ..parallel.mesh import replicate, shard_batch
+
+    Nr_aug = replicate(Nr_aug)
+    Ni_aug = replicate(Ni_aug)
+    idx = shard_batch(idx)
     P = idx.shape[0]
     if chunk is None or P <= chunk:
         return _pf_pairs_split_impl(Nr_aug, Ni_aug, idx)
@@ -345,6 +350,10 @@ def batched_pfaffian_pairs(N, idx, pad_slots: int, chunk: int | None = None):
         return jnp.ones((idx.shape[0],), dtype=N.dtype)
     assert w % 2 == 0, "total index count per row must be even"
     N_aug = symplectic_pad(N, pad_slots) if pad_slots else N
+    from ..parallel.mesh import replicate, shard_batch
+
+    N_aug = replicate(N_aug)
+    idx = shard_batch(idx)
     P = idx.shape[0]
     if chunk is None or P <= chunk:
         return _pf_pairs_impl(N_aug, idx)

@@ -1046,19 +1046,21 @@ class MPSTensorData:
         their cross-check handles and fallback info, resolved (and possibly
         recomputed through the direct path) at materialisation time by
         :meth:`resolve_fill`."""
+        from .parallel.mesh import replicate, shard_batch
+
         parts = []
         classes = []
         for plan in plans:
             if plan["kind"] == "direct":
                 parts.append(_fill_kernel(
-                    self.sometimes_matrix, self.det_always,
-                    jnp.asarray(plan["idx_b"]), jnp.asarray(plan["idx_k"]),
-                    tuple(jnp.asarray(x) for x in plan["scat"]),
+                    replicate(self.sometimes_matrix), self.det_always,
+                    shard_batch(plan["idx_b"]), shard_batch(plan["idx_k"]),
+                    tuple(shard_batch(x) for x in plan["scat"]),
                     shape=shape,
                 ))
                 continue
             w_b = plan["w_b"]
-            M_aug = _aug_kernel(self.sometimes_matrix, pad=w_b)
+            M_aug = _aug_kernel(replicate(self.sometimes_matrix), pad=w_b)
             D0, G, Pt, T2, T3 = det_swap_tables(
                 M_aug, jnp.asarray(plan["r0"]), jnp.asarray(plan["c0"])
             )
@@ -1066,12 +1068,12 @@ class MPSTensorData:
             for sub in plan["sub"]:
                 Tp, chk_swap = _fill_swaps_kernel(
                     M_aug, self.det_always, D0, G, Pt, T2, T3,
-                    jnp.asarray(sub["sign"]),
-                    jnp.asarray(sub["rin"]), jnp.asarray(sub["rout"]),
-                    jnp.asarray(sub["rpos"]),
-                    jnp.asarray(sub["cin"]), jnp.asarray(sub["cout"]),
-                    jnp.asarray(sub["cpos"]),
-                    tuple(jnp.asarray(x) for x in sub["scat"]),
+                    shard_batch(sub["sign"]),
+                    shard_batch(sub["rin"]), shard_batch(sub["rout"]),
+                    shard_batch(sub["rpos"]),
+                    shard_batch(sub["cin"]), shard_batch(sub["cout"]),
+                    shard_batch(sub["cpos"]),
+                    tuple(shard_batch(x) for x in sub["scat"]),
                     jnp.asarray(sub["check_sel"], dtype=jnp.int32),
                     shape=shape,
                 )
@@ -1432,6 +1434,24 @@ def build_site_tensors(pairs):
     ]
     with profiling.stage("fill/plan_fill"):
         fill_plans = [d._plan_fill() for d in datas]
+    from .parallel.mesh import active_mesh
+
+    if active_mesh() is not None:
+        # mesh-sharded path: per-site dispatch (the pair batches shard over
+        # the "pairs" axis; grouped vmapping would fight the batch sharding)
+        out = []
+        with profiling.stage("fill/det_groups"):
+            handles = []
+            for i in range(n):
+                shape, q_l, q_r, plans = fill_plans[i]
+                handles.append(datas[i].dispatch_fill(shape, plans))
+        with profiling.stage("fill/resolve"):
+            for i in range(n):
+                shape, q_l, q_r, plans = fill_plans[i]
+                parts, classes = handles[i]
+                T = datas[i].resolve_fill(shape, parts, classes)
+                out.append((T, q_l, q_r, datas[i].qtotal))
+        return out
     out = [None] * n
     acc: dict = {}  # site -> accumulated partial tensor
     site_classes: dict = {}  # site -> rank-update class entries (checked)
