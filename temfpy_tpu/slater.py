@@ -936,6 +936,10 @@ class MPSTensorData:
         ok_c = np.array([o is not None for o in col_info])
         ab_r = np.array([o[0] if o else 0 for o in row_info])
         ab_c = np.array([o[0] if o else 0 for o in col_info])
+        # square the buckets: (a_b, b_b) -> (s_b, s_b).  Executable count is
+        # the first-order cold-start cost on TPU (remote compiles), and the
+        # extra self-swap padding is O(s^3) per pair — cheap.
+        sq = np.maximum(ab_r[:, None], ab_c[None, :])
         for ri in range(len(rows)):
             if not ok_r[ri]:
                 far_rows.append(np.full(len(cols), rows[ri]))
@@ -945,33 +949,60 @@ class MPSTensorData:
             if not good.all():
                 far_rows.append(np.full((~good).sum(), rows[ri]))
                 far_cols.append(cols[~good])
-            for b_b in np.unique(ab_c[good]):
-                sel = good & (ab_c == b_b)
-                key = (int(ab_r[ri]), int(b_b))
+            for s_b in np.unique(sq[ri][good]):
+                sel = good & (sq[ri] == s_b)
+                key = (int(s_b), int(s_b))
                 r_l, c_l = buckets.setdefault(key, ([], []))
                 r_l.append(np.full(int(sel.sum()), ri))
                 c_l.append(np.nonzero(sel)[0])
+
+        def widen(info, sets, base_pos, s_b):
+            """Pads one side's (a_b, rin, rout, rpos) to bucket width s_b
+            with additional self-swaps at kept base positions."""
+            a_b, rin, rout, rpos = info
+            n_pad = s_b - len(rin)
+            if n_pad <= 0:
+                return rin, rout, rpos
+            kept = np.setdiff1d(
+                np.arange(len(base_pos)), rpos, assume_unique=False
+            )[:n_pad]
+            if len(kept) < n_pad:
+                return None  # cannot pad: route to far handled by caller
+            pad_g = base_pos[kept]
+            return (
+                np.concatenate([rin, pad_g]).astype(np.int32),
+                np.concatenate([rout, pad_g]).astype(np.int32),
+                np.concatenate([rpos, kept]).astype(np.int32),
+            )
 
         sub_plans = []
         for (a_b, b_b), (r_l, c_l) in sorted(buckets.items()):
             ri = np.concatenate(r_l)
             ci = np.concatenate(c_l)
             P = len(ri)
-            P_b = max(256, 1 << int(np.ceil(np.log2(P))))
-            rin = np.stack([row_info[r][1] for r in np.arange(len(rows))
-                            if row_info[r] and row_info[r][0] == a_b])
-            # map ri -> compacted row table
-            rsel = np.array([r for r in range(len(rows))
-                             if row_info[r] and row_info[r][0] == a_b])
+            # coarse batch grid (4x steps, min 1024): executable diversity,
+            # not padding flops, dominates TPU cold starts
+            P_b = 1024
+            while P_b < P:
+                P_b *= 4
+            rsel = np.unique(ri)
             rmap = np.searchsorted(rsel, ri)
-            rout = np.stack([row_info[r][2] for r in rsel])
-            rpos = np.stack([row_info[r][3] for r in rsel])
-            csel = np.array([q for q in range(len(cols))
-                             if col_info[q] and col_info[q][0] == b_b])
+            rows_w = [widen(row_info[r], sets_b, base_b, a_b) for r in rsel]
+            csel = np.unique(ci)
             cmap = np.searchsorted(csel, ci)
-            cin = np.stack([col_info[q][1] for q in csel])
-            cout = np.stack([col_info[q][2] for q in csel])
-            cpos = np.stack([col_info[q][3] for q in csel])
+            cols_w = [widen(col_info[q], sets_k, base_k, b_b) for q in csel]
+            if any(x is None for x in rows_w) or any(x is None for x in cols_w):
+                # square-bucket padding exceeded the class size: send this
+                # bucket's pairs to the direct path instead
+                far_rows.append(rows[rsel][rmap])
+                far_cols.append(cols[csel][cmap])
+                continue
+            rin = np.stack([x[0] for x in rows_w])
+            rout = np.stack([x[1] for x in rows_w])
+            rpos = np.stack([x[2] for x in rows_w])
+            cin = np.stack([x[0] for x in cols_w])
+            cout = np.stack([x[1] for x in cols_w])
+            cpos = np.stack([x[2] for x in cols_w])
 
             def padP(arr, fill_row):
                 return np.concatenate(
