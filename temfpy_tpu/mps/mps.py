@@ -260,8 +260,10 @@ class MPS:
         return float(np.real(self.overlap(self)))
 
     def expectation_value(self, op_name: str, sites=None) -> np.ndarray:
-        """Per-site expectation values <op_i> (finite)."""
-        assert self.finite
+        """Per-site expectation values <op_i> (finite and infinite MPS;
+        the reference obtains these from TeNPy ``MPS.expectation_value``)."""
+        if not self.finite:
+            return self._expectation_value_infinite(op_name, sites)
         G = [np.asarray(t) for t in self.exact_tensors()]
         if sites is None:
             sites = range(self.L)
@@ -283,6 +285,74 @@ class MPS:
             out.append(complex(np.einsum("ab,ab->", E, Rs[i + 1].conj())))
         vals = np.asarray(out)
         return vals
+
+    def _expectation_value_infinite(self, op_name: str, sites=None):
+        """<op_i> of an infinite MPS in canonical form: contract diag(S_i^2)
+        against the right-canonical tensor with the operator inserted."""
+        if sites is None:
+            sites = range(self.L)
+        out = []
+        for i in sites:
+            i = i % self.L
+            B = np.asarray(self.get_B(i, "B"))
+            S2 = np.asarray(self._S[i]) ** 2
+            op = np.asarray(self.sites[i].get_op(op_name))
+            val = np.einsum("a,anb,nm,amb->", S2, B.conj(), op, B)
+            out.append(complex(val))
+        return np.asarray(out)
+
+    def correlation_function_infinite(
+        self, name1: str, name2: str, max_range: int, sites1=None
+    ) -> np.ndarray:
+        r"""Two-point functions <op1_i op2_{i+r}> of an infinite MPS for
+        r = 1..max_range, i in ``sites1`` (default: the unit cell).
+
+        Returns an array of shape (len(sites1), max_range); Jordan-Wigner
+        strings are threaded exactly as in :meth:`correlation_function`
+        (mixed fermionic/bosonic pairs raise).  Replaces the reference's use
+        of TeNPy ``MPS.correlation_function`` on infinite states.
+        """
+        assert not self.finite
+        L = self.L
+        if sites1 is None:
+            sites1 = range(L)
+        jw1 = self.sites[0].op_needs_JW.get(name1, False)
+        jw2 = self.sites[0].op_needs_JW.get(name2, False)
+        if jw1 != jw2:
+            raise ValueError(
+                f"correlation_function_infinite({name1!r}, {name2!r}): "
+                "mismatched Jordan-Wigner requirements (parity-odd pair)"
+            )
+        needs_jw = jw1 and jw2
+
+        out = np.zeros((len(sites1), max_range), dtype=complex)
+        for k, i in enumerate(sites1):
+            i = i % L
+            site_i = self.sites[i]
+            op1 = np.asarray(site_i.get_op(name1))
+            if needs_jw:
+                op1 = op1 @ np.asarray(site_i.get_op("JW"))
+            B = np.asarray(self.get_B(i, "B"))
+            S2 = np.asarray(self._S[i]) ** 2
+            # E[a, b] environment between bra/ket after op1 at site i
+            E = np.einsum("a,anb,nm,amc->bc", S2, B.conj(), op1, B)
+            for r in range(1, max_range + 1):
+                j = (i + r) % L
+                site_j = self.sites[j]
+                Bj = np.asarray(self.get_B(j, "B"))
+                op2 = np.asarray(site_j.get_op(name2))
+                val = np.einsum("bc,bnd,nm,cmd->", E, Bj.conj(), op2, Bj)
+                out[k, r - 1] = complex(val)
+                string = (
+                    np.asarray(site_j.get_op("JW")) if needs_jw else None
+                )
+                E = self._env_update(E.conj().T, Bj, Bj, op=string).conj().T \
+                    if False else np.einsum(
+                        "bc,bnd,nm,cme->de", E, Bj.conj(),
+                        string if string is not None
+                        else np.eye(site_j.d), Bj,
+                    )
+        return out
 
     def correlation_function(self, name1: str, name2: str) -> np.ndarray:
         r"""All-pairs two-point function  result[i, j] = <op1_i op2_j>

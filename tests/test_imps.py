@@ -144,3 +144,37 @@ def test_length_mismatch_raises():
     m2 = slater.H_to_MPS(dimer_H(12), trunc)
     with pytest.raises(ValueError):
         iMPS.MPS_to_iMPS(m1, m2, 2, 4)
+
+
+def test_infinite_observables_match_finite_bulk():
+    """<n_i> and <cd_i c_j> of an iMPS match the bulk of a long finite MPS
+    (the reference gets infinite observables from TeNPy)."""
+    import numpy as np
+
+    from temfpy_tpu import slater
+
+    def dimer_H(L, t1=-1.0, t2=-2.5):
+        M = t1 * np.ones(L - 1)
+        M[1::2] = t2
+        M = np.diag(M, 1)
+        return M + M.T
+
+    L = 32
+    cell = 2
+    imps, _err = slater.H_to_iMPS(
+        dimer_H(L), dimer_H(L + cell), {"chi_max": 48}, cell, L // 2
+    )
+    fin = slater.H_to_MPS(dimer_H(L), {"chi_max": 48})
+
+    n_inf = imps.expectation_value("N").real
+    n_fin = fin.expectation_value("N").real
+    mid = L // 2
+    # bulk site of matching sublattice parity
+    np.testing.assert_allclose(n_inf[mid % cell], n_fin[mid], atol=2e-6)
+
+    corr_inf = imps.correlation_function_infinite("Cd", "C", max_range=4)
+    corr_fin = fin.correlation_function("Cd", "C")
+    for r in range(1, 5):
+        want = corr_fin[mid, mid + r]
+        got = corr_inf[mid % cell, r - 1]
+        np.testing.assert_allclose(got, want, atol=5e-6)
