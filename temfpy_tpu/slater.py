@@ -865,7 +865,13 @@ class MPSTensorData:
         return idx_b, idx_k, np.stack(scat)
 
     def _plan_swap_class(self, c, w_b, rows, cols, m, shape):
-        """Rank-update plan of one excitation class (see _plan_fill)."""
+        """Rank-update plan of one excitation class (see _plan_fill).
+
+        Host planning is fully vectorized: per-side swap arrays are built
+        once at the maximum bucket width (padded by self-swaps at kept base
+        positions, in ascending order), so a pair bucket just slices the
+        first s_b columns; permutation signs come from a vectorized
+        inversion count."""
         sets_b = self.sets_bra[rows]
         sets_k = self.sets_ket[cols]
 
@@ -879,156 +885,87 @@ class MPSTensorData:
             sets_b.sum(axis=0) / max(len(sets_b), 1)
             + sets_k.sum(axis=0) / max(len(sets_k), 1)
         )
-        base_b = np.sort(np.argsort(freq)[::-1][:c])
-        base_k = base_b.copy()
-        mask_b = np.zeros(m, bool)
-        mask_b[base_b] = True
-        mask_k = np.zeros(m, bool)
-        mask_k[base_k] = True
+        base = np.sort(np.argsort(freq)[::-1][:c])
+        base_mask = np.zeros(m, bool)
+        base_mask[base] = True
+        W = min(8, c)  # max swap bucket this class can pad within itself
 
-        def side_arrays(sets, base_pos, base_mask):
-            """Per unique row: (a_real, bucket, rin, rout, rpos, sign)."""
+        def side_arrays(sets):
+            """(ok, a_real, rin, rout, rpos, sign), arrays width W; entries
+            past a_real are self-swaps at the row's kept base positions."""
             n = len(sets)
-            a_real = (sets & ~base_mask).sum(axis=1)
-            out = []
-            for r in range(n):
-                a = int(a_real[r])
-                a_b = _bucket_swaps(a)
-                if a_b is None or a_b > c:
-                    out.append(None)  # far row
-                    continue
-                rout_g = base_pos[~sets[r][base_pos]]
-                rin_g = np.nonzero(sets[r] & ~base_mask)[0]
-                rpos = np.searchsorted(base_pos, rout_g)
-                n_pad = a_b - a
-                if n_pad:
-                    kept_loc = np.nonzero(sets[r][base_pos])[0][:n_pad]
-                    if len(kept_loc) < n_pad:
-                        out.append(None)
-                        continue
-                    pad_g = base_pos[kept_loc]
-                    rout_g = np.concatenate([rout_g, pad_g])
-                    rin_g = np.concatenate([rin_g, pad_g])
-                    rpos = np.concatenate([rpos, kept_loc])
-                out.append((a_b, rin_g.astype(np.int32),
-                            rout_g.astype(np.int32), rpos.astype(np.int32)))
-            return a_real, out
-
-        _, row_info = side_arrays(sets_b, base_b, mask_b)
-        _, col_info = side_arrays(sets_k, base_k, mask_k)
-
-        # per-row/col permutation signs (in-place replacement vs sorted)
-        def row_sign(info, base_pos):
-            if info is None:
-                return 1.0
-            _, rin, rout, rpos = info
-            return float(perm_parity_rows(
-                base_pos, rpos[None, :], rin[None, :]
-            )[0])
-
-        sign_r = np.array([row_sign(o, base_b) for o in row_info])
-        sign_c = np.array([row_sign(o, base_k) for o in col_info])
-
-        # pair buckets keyed by (a_b, b_b); far pairs go to the direct path
-        buckets: dict[tuple[int, int], tuple[list, list]] = {}
-        far_rows, far_cols = [], []
-        ok_r = np.array([o is not None for o in row_info])
-        ok_c = np.array([o is not None for o in col_info])
-        ab_r = np.array([o[0] if o else 0 for o in row_info])
-        ab_c = np.array([o[0] if o else 0 for o in col_info])
-        # square the buckets: (a_b, b_b) -> (s_b, s_b).  Executable count is
-        # the first-order cold-start cost on TPU (remote compiles), and the
-        # extra self-swap padding is O(s^3) per pair — cheap.
-        sq = np.maximum(ab_r[:, None], ab_c[None, :])
-        for ri in range(len(rows)):
-            if not ok_r[ri]:
-                far_rows.append(np.full(len(cols), rows[ri]))
-                far_cols.append(cols)
-                continue
-            good = ok_c
-            if not good.all():
-                far_rows.append(np.full((~good).sum(), rows[ri]))
-                far_cols.append(cols[~good])
-            for s_b in np.unique(sq[ri][good]):
-                sel = good & (sq[ri] == s_b)
-                key = (int(s_b), int(s_b))
-                r_l, c_l = buckets.setdefault(key, ([], []))
-                r_l.append(np.full(int(sel.sum()), ri))
-                c_l.append(np.nonzero(sel)[0])
-
-        def widen(info, sets, base_pos, s_b):
-            """Pads one side's (a_b, rin, rout, rpos) to bucket width s_b
-            with additional self-swaps at kept base positions."""
-            a_b, rin, rout, rpos = info
-            n_pad = s_b - len(rin)
-            if n_pad <= 0:
-                return rin, rout, rpos
-            kept = np.setdiff1d(
-                np.arange(len(base_pos)), rpos, assume_unique=False
-            )[:n_pad]
-            if len(kept) < n_pad:
-                return None  # cannot pad: route to far handled by caller
-            pad_g = base_pos[kept]
-            return (
-                np.concatenate([rin, pad_g]).astype(np.int32),
-                np.concatenate([rout, pad_g]).astype(np.int32),
-                np.concatenate([rpos, kept]).astype(np.int32),
+            out_mask = ~sets[:, base]  # (n, c): base positions the row lost
+            in_mask = sets & ~base_mask  # (n, m): positions gained
+            a_real = in_mask.sum(axis=1)
+            ok = a_real <= W
+            # locals of lost positions first (ascending), then kept locals
+            locs = np.argsort(~out_mask, axis=1, kind="stable")[:, :W]
+            rpos = locs.astype(np.int32)
+            rout = base[locs].astype(np.int32)
+            ins = np.argsort(~in_mask, axis=1, kind="stable")[:, :W]
+            slot = np.arange(W)[None, :]
+            rin = np.where(slot < a_real[:, None], ins, rout).astype(np.int32)
+            # permutation sign: base with in-place replacements vs sorted
+            arr = np.broadcast_to(base, (n, c)).copy()
+            np.put_along_axis(arr, locs, rin, axis=1)
+            inv = np.sum(
+                (arr[:, :, None] > arr[:, None, :])
+                & (np.arange(c)[:, None] < np.arange(c)[None, :]),
+                axis=(1, 2),
             )
+            sign = np.where(inv % 2 == 1, -1.0, 1.0)
+            return ok, a_real, rin, rout, rpos, sign
+
+        ok_r, a_r, rin_r, rout_r, rpos_r, sign_r = side_arrays(sets_b)
+        ok_c, a_c, rin_c, rout_c, rpos_c, sign_c = side_arrays(sets_k)
+
+        # pair buckets by s_b = bucket(max(a_row, b_col)); far pairs (either
+        # side over W) go to the direct path
+        ab_r = np.array([_bucket_swaps(int(a)) or 99 for a in a_r])
+        ab_c = np.array([_bucket_swaps(int(a)) or 99 for a in a_c])
+        ab_r = np.where(ok_r, np.minimum(ab_r, 99), 99)
+        ab_c = np.where(ok_c, np.minimum(ab_c, 99), 99)
+        sq = np.maximum(ab_r[:, None], ab_c[None, :])  # (R, C)
+        sq = np.where(sq > W, 99, sq)
+
+        far_rows, far_cols = [], []
+        far_sel = sq >= 99
+        if far_sel.any():
+            fr, fc = np.nonzero(far_sel)
+            far_rows.append(rows[fr])
+            far_cols.append(cols[fc])
 
         sub_plans = []
-        for (a_b, b_b), (r_l, c_l) in sorted(buckets.items()):
-            ri = np.concatenate(r_l)
-            ci = np.concatenate(c_l)
+        for s_b in np.unique(sq[sq < 99]):
+            s_b = int(s_b)
+            ri, ci = np.nonzero(sq == s_b)
             P = len(ri)
             # coarse batch grid (4x steps, min 1024): executable diversity,
             # not padding flops, dominates TPU cold starts
             P_b = 1024
             while P_b < P:
                 P_b *= 4
-            rsel = np.unique(ri)
-            rmap = np.searchsorted(rsel, ri)
-            rows_w = [widen(row_info[r], sets_b, base_b, a_b) for r in rsel]
-            csel = np.unique(ci)
-            cmap = np.searchsorted(csel, ci)
-            cols_w = [widen(col_info[q], sets_k, base_k, b_b) for q in csel]
-            if any(x is None for x in rows_w) or any(x is None for x in cols_w):
-                # square-bucket padding exceeded the class size: send this
-                # bucket's pairs to the direct path instead
-                far_rows.append(rows[rsel][rmap])
-                far_cols.append(cols[csel][cmap])
-                continue
-            rin = np.stack([x[0] for x in rows_w])
-            rout = np.stack([x[1] for x in rows_w])
-            rpos = np.stack([x[2] for x in rows_w])
-            cin = np.stack([x[0] for x in cols_w])
-            cout = np.stack([x[1] for x in cols_w])
-            cpos = np.stack([x[2] for x in cols_w])
 
             def padP(arr, fill_row):
                 return np.concatenate(
                     [arr, np.broadcast_to(fill_row, (P_b - P,) + fill_row.shape)]
                 )
 
-            # batch padding: all-self-swap rows (value D0*sign -> trash slot)
-            pad_r = np.stack([base_b[np.arange(a_b)], base_b[np.arange(a_b)],
-                              np.arange(a_b)])
-            pad_c = np.stack([base_k[np.arange(b_b)], base_k[np.arange(b_b)],
-                              np.arange(b_b)])
+            pad_r = np.stack([base[:s_b], base[:s_b], np.arange(s_b)])
             plan = {
                 "kind": "swap",
-                "rin": padP(rin[rmap], pad_r[0]).astype(np.int32),
-                "rout": padP(rout[rmap], pad_r[1]).astype(np.int32),
-                "rpos": padP(rpos[rmap], pad_r[2]).astype(np.int32),
-                "cin": padP(cin[cmap], pad_c[0]).astype(np.int32),
-                "cout": padP(cout[cmap], pad_c[1]).astype(np.int32),
-                "cpos": padP(cpos[cmap], pad_c[2]).astype(np.int32),
+                "rin": padP(rin_r[ri, :s_b], pad_r[0]).astype(np.int32),
+                "rout": padP(rout_r[ri, :s_b], pad_r[1]).astype(np.int32),
+                "rpos": padP(rpos_r[ri, :s_b], pad_r[2]).astype(np.int32),
+                "cin": padP(rin_c[ci, :s_b], pad_r[0]).astype(np.int32),
+                "cout": padP(rout_c[ci, :s_b], pad_r[1]).astype(np.int32),
+                "cpos": padP(rpos_c[ci, :s_b], pad_r[2]).astype(np.int32),
                 "sign": np.concatenate(
-                    [sign_r[rsel][rmap] * sign_c[csel][cmap], np.ones(P_b - P)]
+                    [sign_r[ri] * sign_c[ci], np.ones(P_b - P)]
                 ),
             }
-            # scatter coords
-            g_rows = rows[rsel][rmap]
-            g_cols = cols[csel][cmap]
+            g_rows = rows[ri]
+            g_cols = cols[ci]
             scat = []
             for ax, arr in enumerate(self._scatter_ix(g_rows, g_cols)):
                 full = np.full(P_b, shape[0] if ax == 0 else 0, dtype=np.int32)
@@ -1057,8 +994,8 @@ class MPSTensorData:
 
         # shared per-class base data (sentinel-padded to the width bucket)
         sent = m + np.arange(w_b - c, dtype=np.int32)
-        r0 = np.concatenate([base_b.astype(np.int32), sent])
-        c0 = np.concatenate([base_k.astype(np.int32), sent])
+        r0 = np.concatenate([base.astype(np.int32), sent])
+        c0 = r0.copy()
         plan = {
             "kind": "swap_class",
             "w_b": w_b,
