@@ -752,24 +752,33 @@ def _det_swaps_body(M_aug, G, P, T2, T3, D0, sign,
     return lu_det(S) * D0 * sign
 
 
-def _fill_swaps_impl(M_aug, det_always, D0, G, P, T2, T3, sign,
-                     rin, rout, rpos, cin, cout, cpos, scat, check_sel,
-                     *, shape):
-    """Fused rank-update fill: assemble all pairs' S matrices by gathers,
-    evaluate the (P_b, s, s) determinant batch, scale, scatter into the
-    dense tensor (trash slot absorbs batch padding).  Also returns the raw
-    pair values at ``check_sel`` for the runtime cross-check against the
-    direct path."""
+def _det_swaps_vals_impl(M_aug, det_always, D0, G, P, T2, T3, sign,
+                         rin, rout, rpos, cin, cout, cpos, check_sel):
+    """Rank-update determinant batch: assemble all pairs' S matrices by
+    gathers and evaluate (P_b, s, s) determinants.  Returns (vals,
+    vals[check_sel]) — the scatter into the dense tensor is a separate
+    executable (:func:`scatter_vals_kernel`), so determinant and scatter
+    executables are keyed independently (additive, not multiplicative,
+    compile counts)."""
     vals = _det_swaps_body(
         M_aug, G, P, T2, T3, D0, sign, rin, rout, rpos, cin, cout, cpos
     ) * det_always
+    return vals, vals[check_sel]
+
+
+_det_swaps_kernel = jax.jit(_det_swaps_vals_impl)
+
+
+def _scatter_vals_impl(vals, scat, *, shape):
+    """Scatter a padded value batch into the (bucketed) dense tensor; the
+    trash slot at shape[0] absorbs batch padding."""
     T = jnp.zeros((shape[0] + 1,) + tuple(shape[1:]), vals.dtype)
     T = T.at[scat].set(vals)
-    return T[: shape[0]], vals[check_sel]
+    return T[: shape[0]]
 
 
-_fill_swaps_kernel = partial(jax.jit, static_argnames=("shape",))(
-    _fill_swaps_impl
+scatter_vals_kernel = partial(jax.jit, static_argnames=("shape",))(
+    _scatter_vals_impl
 )
 
 
@@ -777,6 +786,16 @@ _fill_swaps_kernel = partial(jax.jit, static_argnames=("shape",))(
 def _det_check_impl(M_aug, det_always, idx_b, idx_k):
     """Direct determinants of a small pair subset (the cross-check oracle
     for the rank-update path)."""
+    sub = gather_submatrices(M_aug, idx_b, idx_k)
+    return lu_det(sub) * det_always
+
+
+@jax.jit
+def _det_direct_vals_impl(M, det_always, idx_b, idx_k):
+    """Direct identity-padded determinant batch (no scatter): the fill
+    counterpart of :func:`_det_swaps_vals_impl`."""
+    w = idx_b.shape[-1]
+    M_aug = block_diag_identity_pad(M, w)
     sub = gather_submatrices(M_aug, idx_b, idx_k)
     return lu_det(sub) * det_always
 

@@ -42,8 +42,10 @@ from .ops.linalg import (
     gauss_solve_det,
     perm_parity_rows,
     robust_eigh,
+    scatter_vals_kernel,
     _det_check_impl,
-    _fill_swaps_kernel,
+    _det_direct_vals_impl,
+    _det_swaps_kernel,
 )
 from .schmidt_utils import lowest_sums, to_stopping_condition
 from . import profiling
@@ -609,6 +611,23 @@ def _use_det_updates() -> bool:
     return os.environ.get("TEMFPY_TPU_DET_UPDATES", "1") != "0"
 
 
+def _bucket_shape(shape: tuple) -> tuple:
+    """Rounds the chi dimensions of a scatter-target shape up to powers of
+    two >= 64 (physical dims <= 4 kept): the dense-tensor shape is a STATIC
+    argument of the scatter executable, so per-site shapes would compile one
+    executable per site — the first-order cold-start cost on TPU."""
+
+    def b(d):
+        if d <= 4:
+            return d
+        n = 64
+        while n < d:
+            n *= 2
+        return n
+
+    return tuple(b(d) for d in shape)
+
+
 def _bucket_swaps(a: int) -> int | None:
     """Shape bucket of a swap count; None = too far from the base (the pair
     is cheaper through the direct path)."""
@@ -678,25 +697,6 @@ def _site_overlap_group(
     )
 
 
-def _fill_impl(M, det_always, idx_b, idx_k, scat, *, shape):
-    """Fused tensor fill: identity-extend the sometimes matrix, gather the
-    (P_b, w, w) submatrix batch, evaluate determinants (hand-rolled LU,
-    TPU-safe), scale by det_always, scatter into the dense tensor with a
-    trash slot absorbing the batch padding."""
-    from .ops.linalg import block_diag_identity_pad, gather_submatrices, lu_det
-
-    w = idx_b.shape[1]
-    M_aug = block_diag_identity_pad(M, w)
-    sub = gather_submatrices(M_aug, idx_b, idx_k)
-    vals = lu_det(sub) * det_always
-    T = jnp.zeros((shape[0] + 1,) + tuple(shape[1:]), vals.dtype)
-    T = T.at[scat].set(vals)
-    return T[: shape[0]]
-
-
-_fill_kernel = partial(jax.jit, static_argnames=("shape",))(_fill_impl)
-
-
 @partial(jax.jit, static_argnames=("pad",))
 def _aug_kernel(M, pad):
     from .ops.linalg import block_diag_identity_pad
@@ -704,14 +704,23 @@ def _aug_kernel(M, pad):
     return block_diag_identity_pad(M, pad)
 
 
+@jax.jit
+def _det_direct_group(M, det_always, idx_b, idx_k):
+    """vmapped direct determinant batch over a group of sites sharing one
+    bucket (see ops.linalg._det_direct_vals_impl)."""
+    return jax.vmap(_det_direct_vals_impl)(M, det_always, idx_b, idx_k)
+
+
 @partial(jax.jit, static_argnames=("shape",))
-def _fill_group(M, det_always, idx_b, idx_k, scat, *, shape):
-    """vmapped :func:`_fill_impl` over a group of sites sharing one bucket."""
+def _scatter_group(vals, scat, *, shape):
+    """vmapped scatter over a group of sites sharing one bucket."""
 
-    def f(m, d, ib, ik, *s):
-        return _fill_impl(m, d, ib, ik, tuple(s), shape=shape)
+    def f(v, *s):
+        from .ops.linalg import _scatter_vals_impl
 
-    return jax.vmap(f)(M, det_always, idx_b, idx_k, *scat)
+        return _scatter_vals_impl(v, tuple(s), shape=shape)
+
+    return jax.vmap(f)(vals, *scat)
 
 
 @dataclass(frozen=True)
@@ -856,10 +865,13 @@ class MPSTensorData:
             [idx_k_cols, np.broadcast_to(pad_row, (P_b - P, w_b))]
         )
 
-        # padded scatter indices (dummies route to the trash slot shape[0])
+        # padded scatter indices; dummies route to the trash slot at the
+        # BUCKETED leading dimension (the kernels scatter into the bucketed
+        # shape and the caller slices)
+        sb0 = _bucket_shape(shape)[0]
         scat = []
         for ax, arr in enumerate(self._scatter_ix(rows, cols)):
-            full = np.full(P_b, shape[0] if ax == 0 else 0, dtype=np.int32)
+            full = np.full(P_b, sb0 if ax == 0 else 0, dtype=np.int32)
             full[:P] = arr
             scat.append(full)
         return idx_b, idx_k, np.stack(scat)
@@ -966,9 +978,10 @@ class MPSTensorData:
             }
             g_rows = rows[ri]
             g_cols = cols[ci]
+            sb0 = _bucket_shape(shape)[0]
             scat = []
             for ax, arr in enumerate(self._scatter_ix(g_rows, g_cols)):
-                full = np.full(P_b, shape[0] if ax == 0 else 0, dtype=np.int32)
+                full = np.full(P_b, sb0 if ax == 0 else 0, dtype=np.int32)
                 full[:P] = arr
                 scat.append(full)
             plan["scat"] = np.stack(scat)
@@ -1018,13 +1031,16 @@ class MPSTensorData:
 
         parts = []
         classes = []
+        shape_b = _bucket_shape(shape)
         for plan in plans:
             if plan["kind"] == "direct":
-                parts.append(_fill_kernel(
+                vals = _det_direct_vals_impl(
                     replicate(self.sometimes_matrix), self.det_always,
                     shard_batch(plan["idx_b"]), shard_batch(plan["idx_k"]),
-                    tuple(shard_batch(x) for x in plan["scat"]),
-                    shape=shape,
+                )
+                parts.append(scatter_vals_kernel(
+                    vals, tuple(shard_batch(x) for x in plan["scat"]),
+                    shape=shape_b,
                 ))
                 continue
             w_b = plan["w_b"]
@@ -1034,16 +1050,18 @@ class MPSTensorData:
             )
             centry = {"parts": [], "checks": [], "plan": plan}
             for sub in plan["sub"]:
-                Tp, chk_swap = _fill_swaps_kernel(
+                vals, chk_swap = _det_swaps_kernel(
                     M_aug, self.det_always, D0, G, Pt, T2, T3,
                     shard_batch(sub["sign"]),
                     shard_batch(sub["rin"]), shard_batch(sub["rout"]),
                     shard_batch(sub["rpos"]),
                     shard_batch(sub["cin"]), shard_batch(sub["cout"]),
                     shard_batch(sub["cpos"]),
-                    tuple(shard_batch(x) for x in sub["scat"]),
                     jnp.asarray(sub["check_sel"], dtype=jnp.int32),
-                    shape=shape,
+                )
+                Tp = scatter_vals_kernel(
+                    vals, tuple(shard_batch(x) for x in sub["scat"]),
+                    shape=shape_b,
                 )
                 chk_dir = _det_check_impl(
                     M_aug, self.det_always,
@@ -1095,15 +1113,18 @@ class MPSTensorData:
             idx_b, idx_k, scat = self._direct_arrays(
                 fr, fc, plan["w_b"], plan["m"], shape,
             )
-            T = add(T, _fill_kernel(
+            vals = _det_direct_vals_impl(
                 self.sometimes_matrix, self.det_always,
                 jnp.asarray(idx_b), jnp.asarray(idx_k),
-                tuple(jnp.asarray(x) for x in scat),
-                shape=shape,
+            )
+            T = add(T, scatter_vals_kernel(
+                vals, tuple(jnp.asarray(x) for x in scat),
+                shape=_bucket_shape(shape),
             ))
         if T is None:
-            T = jnp.zeros(shape, dtype=self.sometimes_matrix.dtype)
-        return T
+            return jnp.zeros(shape, dtype=self.sometimes_matrix.dtype)
+        # partials live in the bucketed shape; slice to the true one
+        return T[tuple(slice(0, d) for d in shape)]
 
     def to_dense_tensor(self, det_chunk: int | None = 65536):
         """The MPS tensor as a dense (chiL, d, chiR) device array with host
@@ -1434,7 +1455,11 @@ def build_site_tensors(pairs):
         for j, plan in enumerate(plans):
             if plan["kind"] != "direct":
                 continue
-            key = (shape, plan["idx_b"].shape, datas[i].sometimes_matrix.shape)
+            key = (
+                _bucket_shape(shape),
+                plan["idx_b"].shape,
+                datas[i].sometimes_matrix.shape,
+            )
             fill_groups.setdefault(key, []).append((i, j))
 
     # cap group size by the TILE-PADDED footprint of the vmapped LU batch:
@@ -1457,15 +1482,17 @@ def build_site_tensors(pairs):
     _fg = profiling.stage("fill/det_groups")
     _fg.__enter__()
     for key, entries in fill_groups.items():
-        shape = key[0]
+        shape_b = key[0]
         if len(entries) == 1:
             i, j = entries[0]
             plan = fill_plans[i][3][j]
-            T = _fill_kernel(
+            vals = _det_direct_vals_impl(
                 datas[i].sometimes_matrix, datas[i].det_always,
                 jnp.asarray(plan["idx_b"]), jnp.asarray(plan["idx_k"]),
-                tuple(jnp.asarray(s) for s in plan["scat"]),
-                shape=shape,
+            )
+            T = scatter_vals_kernel(
+                vals, tuple(jnp.asarray(s) for s in plan["scat"]),
+                shape=shape_b,
             )
             _accumulate(i, T)
         else:
@@ -1481,7 +1508,8 @@ def build_site_tensors(pairs):
                 [fill_plans[i][3][j]["scat"] for i, j in entries]
             )  # (G, naxes, P)
             scat = tuple(jnp.asarray(sc[:, a]) for a in range(sc.shape[1]))
-            T_s = _fill_group(M, det, ib, ik, scat, shape=shape)
+            vals_s = _det_direct_group(M, det, ib, ik)
+            T_s = _scatter_group(vals_s, scat, shape=shape_b)
             for T, (i, _j) in zip(_unstack(T_s), entries):
                 _accumulate(i, T)
 
