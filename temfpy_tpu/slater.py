@@ -606,9 +606,23 @@ at every materialisation (guards against an ill-conditioned class base)."""
 
 
 def _use_det_updates() -> bool:
+    """Whether the rank-update determinant path is active.
+
+    Default: on for CPU backends (measured win), off on accelerators —
+    the current integration dispatches per (site, class, bucket) and
+    synchronises per class for the cross-checks, which is dispatch/latency
+    bound over the TPU tunnel (276 s vs 44 s direct at L=128/chi=512,
+    2026-08-17).  Grouped swap dispatch + batched check sync are the
+    round-3 path to flipping this on for TPU.  Override with
+    TEMFPY_TPU_DET_UPDATES=0/1."""
     import os
 
-    return os.environ.get("TEMFPY_TPU_DET_UPDATES", "1") != "0"
+    mode = os.environ.get("TEMFPY_TPU_DET_UPDATES", "auto")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    return jax.default_backend() == "cpu"
 
 
 def _bucket_shape(shape: tuple) -> tuple:
