@@ -828,3 +828,26 @@ def perm_parity_rows(base: np.ndarray, rpos: np.ndarray, rin: np.ndarray):
                 sign = -sign
         signs[r] = sign
     return signs
+
+
+@jax.jit
+def det_swap_tables_group(M_aug, r0, c0):
+    """vmapped :func:`det_swap_tables` over a fixed-size chunk of (site,
+    class) entries sharing one shape (padded chunks keep ONE executable)."""
+    return jax.vmap(det_swap_tables)(M_aug, r0, c0)
+
+
+@jax.jit
+def _det_swaps_group(M_aug, det_always, D0, G, P, T2, T3, sign,
+                     rin, rout, rpos, cin, cout, cpos, check_sel):
+    """vmapped :func:`_det_swaps_vals_impl` over a fixed-size chunk."""
+    return jax.vmap(_det_swaps_vals_impl)(
+        M_aug, det_always, D0, G, P, T2, T3, sign,
+        rin, rout, rpos, cin, cout, cpos, check_sel,
+    )
+
+
+@jax.jit
+def _det_check_group(M_aug, det_always, idx_b, idx_k):
+    """vmapped :func:`_det_check_impl` over a fixed-size chunk."""
+    return jax.vmap(_det_check_impl)(M_aug, det_always, idx_b, idx_k)

@@ -42,9 +42,12 @@ from .ops.linalg import (
     gauss_solve_det,
     perm_parity_rows,
     robust_eigh,
+    det_swap_tables_group,
     scatter_vals_kernel,
+    _det_check_group,
     _det_check_impl,
     _det_direct_vals_impl,
+    _det_swaps_group,
     _det_swaps_kernel,
 )
 from .schmidt_utils import lowest_sums, to_stopping_condition
@@ -1103,7 +1106,9 @@ class MPSTensorData:
             # are all numerically-zero determinants must not fail on float
             # noise relative to their own tiny magnitudes
             scale = 1e-300
-            pairs = [(np.asarray(a), np.asarray(d)) for a, d in ce["checks"]]
+            pairs = ce.get("fetched") or [
+                (np.asarray(a), np.asarray(d)) for a, d in ce["checks"]
+            ]
             for _a, d in pairs:
                 scale = max(scale, float(np.abs(d).max()))
             ok = all(
@@ -1527,15 +1532,138 @@ def build_site_tensors(pairs):
             for T, (i, _j) in zip(_unstack(T_s), entries):
                 _accumulate(i, T)
 
-    # rank-update (swap) classes: dispatched per site, checked at resolve
+    # ---- rank-update (swap) classes: GROUPED dispatch in fixed-size
+    # chunks (one executable per shape family; dispatch count is the
+    # first-order cost over the TPU tunnel) ----
+    GB = 8
+    entries = []  # one per (site, swap_class plan)
+    aug_cache: dict = {}
     for i, (shape, q_l, q_r, plans) in enumerate(fill_plans):
-        swap_plans = [p for p in plans if p["kind"] != "direct"]
-        if swap_plans:
-            _parts, classes = datas[i].dispatch_fill(shape, swap_plans)
-            site_classes[i] = classes
+        for plan in plans:
+            if plan["kind"] == "direct":
+                continue
+            key = (i, plan["w_b"])
+            if key not in aug_cache:
+                aug_cache[key] = _aug_kernel(
+                    datas[i].sometimes_matrix, pad=plan["w_b"]
+                )
+            entries.append({"i": i, "plan": plan, "M_aug": aug_cache[key]})
+
+    # stage A: per-class base tables, chunked by M_aug shape
+    tgroups: dict = {}
+    for e in entries:
+        tgroups.setdefault(e["M_aug"].shape, []).append(e)
+    for shape_key, es in tgroups.items():
+        for j0 in range(0, len(es), GB):
+            chunk = es[j0 : j0 + GB]
+            pad = chunk + [chunk[0]] * (GB - len(chunk))
+            Ms = jnp.stack([e["M_aug"] for e in pad])
+            r0s = jnp.asarray(np.stack([e["plan"]["r0"] for e in pad]))
+            c0s = jnp.asarray(np.stack([e["plan"]["c0"] for e in pad]))
+            D0s, Gs, Ps, T2s, T3s = det_swap_tables_group(Ms, r0s, c0s)
+            for t, e in enumerate(chunk):
+                e["tables"] = (D0s[t], Gs[t], Ps[t], T2s[t], T3s[t])
+
+    # stage B: per-bucket determinant batches + check oracles, chunked
+    subs = []
+    for e in entries:
+        for sub in e["plan"]["sub"]:
+            subs.append({"e": e, "sub": sub})
+    sgroups: dict = {}
+    for se in subs:
+        key = (
+            se["e"]["M_aug"].shape,
+            se["sub"]["rin"].shape,
+            se["sub"]["cin"].shape,
+        )
+        sgroups.setdefault(key, []).append(se)
+    for key, ses in sgroups.items():
+        for j0 in range(0, len(ses), GB):
+            chunk = ses[j0 : j0 + GB]
+            pad = chunk + [chunk[0]] * (GB - len(chunk))
+
+            def stk(fn):
+                return jnp.stack([fn(se) for se in pad])
+
+            def stkn(name):
+                return jnp.asarray(np.stack([se["sub"][name] for se in pad]))
+
+            vals_s, chk_s = _det_swaps_group(
+                stk(lambda se: se["e"]["M_aug"]),
+                stk(lambda se: datas[se["e"]["i"]].det_always),
+                stk(lambda se: se["e"]["tables"][0]),
+                stk(lambda se: se["e"]["tables"][1]),
+                stk(lambda se: se["e"]["tables"][2]),
+                stk(lambda se: se["e"]["tables"][3]),
+                stk(lambda se: se["e"]["tables"][4]),
+                stkn("sign"),
+                stkn("rin"), stkn("rout"), stkn("rpos"),
+                stkn("cin"), stkn("cout"), stkn("cpos"),
+                stkn("check_sel"),
+            )
+            chkd_s = _det_check_group(
+                stk(lambda se: se["e"]["M_aug"]),
+                stk(lambda se: datas[se["e"]["i"]].det_always),
+                stkn("check_idx_b"),
+                stkn("check_idx_k"),
+            )
+            vals_u = _unstack(vals_s)
+            chk_u = _unstack(chk_s)
+            chkd_u = _unstack(chkd_s)
+            for t, se in enumerate(chunk):
+                se["vals"] = vals_u[t]
+                se["chk"] = (chk_u[t], chkd_u[t])
+
+    # stage C: scatters, chunked by (batch, bucketed tensor shape)
+    cgroups: dict = {}
+    for se in subs:
+        i = se["e"]["i"]
+        shape_b = _bucket_shape(fill_plans[i][0])
+        cgroups.setdefault((se["vals"].shape, shape_b), []).append(se)
+    for (vshape, shape_b), ses in cgroups.items():
+        for j0 in range(0, len(ses), GB):
+            chunk = ses[j0 : j0 + GB]
+            pad = chunk + [chunk[0]] * (GB - len(chunk))
+            vals_s = jnp.stack([se["vals"] for se in pad])
+            sc = np.stack([se["sub"]["scat"] for se in pad])
+            scat = tuple(jnp.asarray(sc[:, a]) for a in range(sc.shape[1]))
+            T_s = _scatter_group(vals_s, scat, shape=shape_b)
+            T_u = _unstack(T_s)
+            for t, se in enumerate(chunk):
+                se["part"] = T_u[t]
+
+    # collate per-site class entries for the resolve
+    for e in entries:
+        ce = {
+            "parts": [],
+            "checks": [],
+            "plan": e["plan"],
+        }
+        for se in subs:
+            if se["e"] is e:
+                ce["parts"].append(se["part"])
+                ce["checks"].append(se["chk"])
+        site_classes.setdefault(e["i"], []).append(ce)
     _fg.__exit__(None, None, None)
 
     with profiling.stage("fill/resolve"):
+        # ONE device->host transfer for every cross-check value
+        handles = []
+        for classes in site_classes.values():
+            for ce in classes:
+                for a, d in ce["checks"]:
+                    handles.append(a)
+                    handles.append(d)
+        if handles:
+            flat = np.asarray(jnp.stack(handles))
+            k = 0
+            for classes in site_classes.values():
+                for ce in classes:
+                    ce["fetched"] = [
+                        (flat[k + 2 * j], flat[k + 2 * j + 1])
+                        for j in range(len(ce["checks"]))
+                    ]
+                    k += 2 * len(ce["checks"])
         for i, (shape, q_l, q_r, plans) in enumerate(fill_plans):
             if out[i] is not None:
                 continue
