@@ -1552,7 +1552,9 @@ def build_site_tensors(pairs):
     # stage A: per-class base tables, chunked by M_aug shape
     tgroups: dict = {}
     for e in entries:
-        tgroups.setdefault(e["M_aug"].shape, []).append(e)
+        tgroups.setdefault(
+            (e["M_aug"].shape, len(e["plan"]["r0"])), []
+        ).append(e)
     for shape_key, es in tgroups.items():
         for j0 in range(0, len(es), GB):
             chunk = es[j0 : j0 + GB]
@@ -1573,6 +1575,7 @@ def build_site_tensors(pairs):
     for se in subs:
         key = (
             se["e"]["M_aug"].shape,
+            len(se["e"]["plan"]["r0"]),
             se["sub"]["rin"].shape,
             se["sub"]["cin"].shape,
         )
