@@ -28,16 +28,17 @@ from .mps import MPS, FermionSite, SpinHalfSite
 logger = logging.getLogger(__name__)
 
 
-def parity_mask(q_bond: np.ndarray, parity: int = 0) -> np.ndarray:
+def parity_mask(leg: np.ndarray, parity: int = 0) -> np.ndarray:
     """Boolean mask selecting bond indices whose charge has the given parity
-    (reference gutzwiller.py:22-48, there on a TeNPy LegCharge)."""
-    return np.asarray(q_bond) % 2 == parity % 2
+    (reference gutzwiller.py:22-48; ``leg`` is the bond's charge-label
+    array, the dense-engine stand-in for a TeNPy LegCharge)."""
+    return np.asarray(leg) % 2 == parity % 2
 
 
-def number_mask(q_bond: np.ndarray, n: int) -> np.ndarray:
+def number_mask(leg: np.ndarray, n: int) -> np.ndarray:
     """Boolean mask selecting bond indices with the exact charge ``n``
     (reference gutzwiller.py:51-70)."""
-    return np.asarray(q_bond) == n
+    return np.asarray(leg) == n
 
 
 def _validate(mps: MPS, unit_cell_width: int | None, group: int = 2) -> int:

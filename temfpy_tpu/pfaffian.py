@@ -60,6 +60,13 @@ fermion_site = FermionSite(conserve="parity")
 """Lattice site prototype for the parity-conserving fermion MPS
 (reference pfaffian.py:63)."""
 
+fermion_leg = fermion_site.charges
+"""Physical-leg charge labels (dense-engine equivalent of the reference's
+TeNPy leg)."""
+
+chinfo = fermion_site.chinfo
+"""Charge info of the parity-conserving fermion site."""
+
 
 #### BASIS TRANSFORMATIONS ####
 #### --------------------- ####
@@ -1137,6 +1144,11 @@ class MPSTensorData:
             )
             vals = vals * self.norm
         return rows, cols, vals
+
+    def to_npc_array(self, pf_chunk: int | None = 16384):
+        """Reference-named alias of :meth:`to_dense_tensor` (reference
+        pfaffian.py:1750-1778)."""
+        return self.to_dense_tensor(pf_chunk)
 
     def queue(self, pf_chunk: int | None = 16384) -> "MPSTensorData":
         """Dispatches this site's Pfaffian fill to the device and caches the

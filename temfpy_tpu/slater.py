@@ -61,6 +61,13 @@ fermion_site = FermionSite(conserve="N")
 """Lattice site prototype for the number-conserving fermion MPS
 (reference slater.py:30)."""
 
+fermion_leg = fermion_site.charges
+"""Physical-leg charge labels (the dense-engine equivalent of the
+reference's TeNPy ``fermion_site.leg``, slater.py:32)."""
+
+chinfo = fermion_site.chinfo
+"""Charge info of the fermion site (reference slater.py:35)."""
+
 
 #### SCHMIDT ORBITALS ####
 #### ---------------- ####
@@ -1035,6 +1042,22 @@ class MPSTensorData:
             "m": m,
         }
         return plan, far
+
+    @property
+    def idx_physical(self) -> int | None:
+        """Index of the onsite degree of freedom in the sometimes-orbital
+        space, or None without a physical leg (reference slater.py:967-973;
+        here the physical orbital sits at the end/start of the canonical
+        ordering for mode left/right)."""
+        if not self.physical_leg:
+            return None
+        return self.sets_bra.shape[1] - 1 if self.mode == "left" else 0
+
+    def to_npc_array(self, det_chunk: int | None = 65536):
+        """Reference-named alias of :meth:`to_dense_tensor` (reference
+        slater.py:1106-1143 returned a TeNPy npc.Array; the dense engine
+        returns (tensor, q_left, q_right, qtotal))."""
+        return self.to_dense_tensor(det_chunk)
 
     def dispatch_fill(self, shape, plans):
         """Dispatches every plan's device work without synchronising.
