@@ -140,16 +140,91 @@ class MPS:
         return out
 
     def get_total_charge(self, only_physical: bool = False) -> int:
-        """Total charge of the state: sum of tensor qtotals plus the bond
-        offset between the first and last bond."""
+        """Total charge of the state.
+
+        ``only_physical=True`` returns the physical charge of the support
+        (summing the charge rule over all tensors: q_bond[L] - q_bond[0] +
+        sum of qtotals), which is invariant under relabelings; the default
+        returns the gauge charge (sum of tensor qtotals), which
+        :meth:`gauge_total_charge` adjusts."""
         qt = int(self.qtotal.sum())
-        if not only_physical:
-            return int(
-                self.chinfo.make_valid(
-                    qt + self.q_bond[-1][0] * 0  # labels cancel in closed contraction
-                )
-            )
+        if only_physical:
+            qt += int(self.q_bond[-1][0]) - int(self.q_bond[0][0])
         return int(self.chinfo.make_valid(qt))
+
+    def gauge_total_charge(self, qtotal_new: int = 0, site: int = 0) -> "MPS":
+        """Relabels charges so the gauge charge (sum of tensor qtotals)
+        becomes ``qtotal_new``: the chosen tensor's qtotal absorbs the
+        difference and every bond to its right shifts oppositely, keeping
+        all charge rules and the physical charge invariant (replaces TeNPy
+        ``MPS.gauge_total_charge``, reference gutzwiller.py:218,400,
+        iMPS.py:438)."""
+        d = int(qtotal_new) - self.get_total_charge()
+        if d == 0:
+            return self
+        self.qtotal[site] += d
+        for k in range(site + 1, self.L + 1):
+            self.q_bond[k] = self.chinfo.make_valid(
+                np.asarray(self.q_bond[k], np.int64) - d
+            )
+        return self
+
+    def extract_segment(self, first: int, last: int) -> "MPS":
+        """A finite MPS holding the (right-canonical) tensors of sites
+        ``first..last`` inclusive, with the surrounding Schmidt values on
+        its boundary bonds (replaces TeNPy ``MPS.extract_segment``,
+        reference iMPS.py:384-412).  Indices may exceed L for infinite MPS
+        (unit cells repeat)."""
+        idx = range(first, last + 1)
+        Bs = [self.get_B(i % self.L if not self.finite else i, "B") for i in idx]
+        svs = [self._S[i % self.L if not self.finite else i] for i in idx]
+        svs.append(
+            self._S[(last + 1) % self.L if not self.finite else last + 1]
+        )
+        sites = [self.sites[i % self.L] for i in idx]
+        q_bonds = [
+            self.q_bond[i % self.L if not self.finite else i] for i in idx
+        ] + [self.q_bond[(last + 1) % self.L if not self.finite else last + 1]]
+        qts = [self.qtotal[i % self.L] for i in idx]
+        return MPS(
+            sites, Bs, svs, form="B", bc="finite",
+            q_bonds=q_bonds, qtotals=qts, norm=self.norm,
+        )
+
+    def group_sites(self, n: int = 2) -> "MPS":
+        """Combines every ``n`` consecutive sites into one grouped site with
+        fused physical legs (replaces TeNPy ``MPS.group_sites``, reference
+        gutzwiller.py:409).  Grouped sites carry the fused charge labels;
+        named operators of the constituents are not regrouped."""
+        assert self.L % n == 0, f"L = {self.L} not divisible by group size {n}"
+        from .charges import fuse
+        from .site import GroupedSite
+
+        Lg = self.L // n
+        Bs, sites, q_bonds, qts, svs = [], [], [self.q_bond[0]], [], [self._S[0]]
+        for g in range(Lg):
+            T = jnp.asarray(self.get_B(n * g, "B"))
+            for j in range(1, n):
+                Tj = jnp.asarray(self.get_B(n * g + j, "B"))
+                a, d1, b = T.shape
+                _, d2, c = Tj.shape
+                T = jnp.einsum("anb,bmc->anmc", T, Tj).reshape(a, d1 * d2, c)
+            Bs.append(T)
+            members = [self.sites[n * g + j] for j in range(n)]
+            q = members[0].charges
+            for m in members[1:]:
+                q = fuse(q, m.charges, self.chinfo)
+            sites.append(GroupedSite(members, q, self.chinfo))
+            q_bonds.append(self.q_bond[n * (g + 1)])
+            qts.append(int(self.qtotal[n * g : n * (g + 1)].sum()))
+            svs.append(self._S[n * (g + 1)])
+        out = MPS(
+            sites, Bs, svs, form="B", bc=self.bc,
+            unit_cell_width=self.unit_cell_width,
+            q_bonds=q_bonds, qtotals=qts, norm=self.norm,
+        )
+        out.grouped = self.grouped * n
+        return out
 
     # ------------------------------------------------------------------
     # form handling

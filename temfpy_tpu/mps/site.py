@@ -109,3 +109,27 @@ class SpinHalfSite(Site):
         needs_jw = {k: False for k in list(ops) + ["Id"]}
         super().__init__(chinfo, charges, ops, needs_jw, state_labels={"up": 0, "down": 1})
         self.conserve = conserve
+
+
+class GroupedSite(Site):
+    """Several sites fused into one (used by ``MPS.group_sites``): carries
+    the Kronecker-fused charge labels; Kronecker products of the members'
+    single-site operators are available as ``"name0 name1 ..."`` (one name
+    per member, ``Id`` allowed)."""
+
+    def __init__(self, members, charges, chinfo):
+        self.members = list(members)
+        super().__init__(chinfo, charges, ops={}, op_needs_JW={})
+
+    def get_op(self, name: str):
+        names = name.split()
+        if len(names) != len(self.members):
+            raise KeyError(
+                f"GroupedSite operator {name!r}: need one name per member "
+                f"({len(self.members)})"
+            )
+        op = None
+        for site, nm in zip(self.members, names):
+            o = site.get_op(nm)
+            op = o if op is None else np.kron(op, o)
+        return op

@@ -160,3 +160,48 @@ def test_expectation_value_density():
     C, _ = slater.correlation_matrix(H)
     n_mps = mps.expectation_value("N").real
     np.testing.assert_allclose(n_mps, np.diag(np.asarray(C)).real, atol=1e-8)
+
+
+def test_group_sites_extract_segment_gauge():
+    """The TeNPy-surface methods the reference consumes: group_sites,
+    extract_segment, gauge_total_charge (SURVEY section 2.2)."""
+    import numpy as np
+
+    from temfpy_tpu import slater
+
+    H = np.zeros((8, 8))
+    for i in range(7):
+        H[i, i + 1] = H[i + 1, i] = -1.0
+    mps = slater.H_to_MPS(H, {"chi_max": 32})
+
+    g = mps.group_sites(2)
+    assert g.L == 4 and g.sites[0].d == 4
+    # the grouped state is the same state
+    np.testing.assert_allclose(
+        np.abs(np.vdot(mps.to_statevector(), g.to_statevector())), 1.0,
+        atol=1e-10,
+    )
+    # grouped operators compose by Kronecker product
+    op = g.sites[0].get_op("N Id")
+    assert op.shape == (4, 4)
+
+    seg = mps.extract_segment(2, 5)
+    assert seg.L == 4 and seg.finite
+    # right-canonical tensors transfer verbatim
+    np.testing.assert_allclose(
+        np.asarray(seg._B[0]), np.asarray(mps.get_B(2, "B")), atol=1e-12
+    )
+
+    before_phys = mps.get_total_charge(only_physical=True)
+    mps.gauge_total_charge(3)
+    assert mps.get_total_charge() == 3
+    assert mps.get_total_charge(only_physical=True) == before_phys
+    # charge rules still hold on every tensor
+    for i in range(mps.L):
+        B = np.asarray(mps._B[i])
+        qL = mps.q_bond[i][:, None, None]
+        qp = np.asarray(mps.sites[i].charges)[None, :, None]
+        qR = mps.q_bond[i + 1][None, None, :]
+        bad = (qL + qp - qR - mps.qtotal[i]) != 0
+        if bad.any():
+            assert np.abs(B[bad]).max() < 1e-12
