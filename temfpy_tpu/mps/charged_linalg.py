@@ -16,8 +16,18 @@ import numpy as np
 
 import jax.numpy as jnp
 
+from ..config import complex_on_device
 from .charges import ChargeInfo
 from ..ops.linalg import robust_qr, robust_svd
+
+
+def _as_backend(M):
+    """jnp array, except complex matrices stay host numpy on backends
+    without device complex support (TPU) — the sector factorizations run
+    through the robust host routes either way."""
+    if np.iscomplexobj(M) and not complex_on_device():
+        return np.asarray(M)
+    return jnp.asarray(M)
 
 
 def _common_sectors(chinfo: ChargeInfo, q_row, q_col, qtotal: int):
@@ -66,14 +76,18 @@ def charged_svd(
        ``q_mid[a] == q_col[j]`` for the columns V acts on).
     err: truncated weight, sum of discarded S^2 (unnormalised).
     """
-    M = jnp.asarray(M)
+    M = _as_backend(M)
+    host = isinstance(M, np.ndarray)
     m, n = M.shape
     sectors = _common_sectors(chinfo, q_row, q_col, qtotal)
 
     blocks = []  # (q_col_charge, rows, cols, U, S, Vh)
     all_svals = []
     for q, rows, cols in sectors:
-        blk = M[jnp.asarray(rows)[:, None], jnp.asarray(cols)[None, :]]
+        if host:
+            blk = M[np.ix_(rows, cols)]
+        else:
+            blk = M[jnp.asarray(rows)[:, None], jnp.asarray(cols)[None, :]]
         Ub, Sb, Vhb = robust_svd(blk, full_matrices=False)
         Sb_host = np.asarray(Sb)
         q_col_charge = int(chinfo.make_valid(np.asarray(q_col))[cols[0]])
@@ -124,6 +138,15 @@ def charged_svd(
     if normalize and S.size:
         S = S / np.linalg.norm(S)
 
+    if host:
+        U = np.zeros((m, ktot), dtype=M.dtype)
+        Vh = np.zeros((ktot, n), dtype=M.dtype)
+        off = 0
+        for (rows, Ub), (cols, Vhb), k in zip(U_cols, Vh_rows, ks):
+            U[np.ix_(rows, off + np.arange(k))] = np.asarray(Ub)
+            Vh[np.ix_(off + np.arange(k), cols)] = np.asarray(Vhb)
+            off += k
+        return U, S, Vh, q_mid, err
     U = jnp.zeros((m, ktot), dtype=M.dtype)
     Vh = jnp.zeros((ktot, n), dtype=M.dtype)
     off = 0
@@ -141,7 +164,8 @@ def charged_qr(M, q_row, q_col, chinfo: ChargeInfo, qtotal: int = 0):
     :func:`charged_svd`: the internal bond charges ``q_mid`` follow the
     column-charge convention.
     """
-    M = jnp.asarray(M)
+    M = _as_backend(M)
+    host = isinstance(M, np.ndarray)
     m, n = M.shape
     sectors = _common_sectors(chinfo, q_row, q_col, qtotal)
     if not sectors:
@@ -151,12 +175,26 @@ def charged_qr(M, q_row, q_col, chinfo: ChargeInfo, qtotal: int = 0):
     ktot = 0
     q_col_valid = chinfo.make_valid(np.asarray(q_col))
     for q, rows, cols in sectors:
-        blk = M[jnp.asarray(rows)[:, None], jnp.asarray(cols)[None, :]]
+        if host:
+            blk = M[np.ix_(rows, cols)]
+        else:
+            blk = M[jnp.asarray(rows)[:, None], jnp.asarray(cols)[None, :]]
         Qb, Rb = robust_qr(blk)
         k = Qb.shape[1]
         parts.append((rows, cols, Qb, Rb, int(q_col_valid[cols[0]]), k))
         ktot += k
 
+    if host:
+        Q = np.zeros((m, ktot), dtype=M.dtype)
+        R = np.zeros((ktot, n), dtype=M.dtype)
+        q_mid = np.empty(ktot, dtype=np.int64)
+        off = 0
+        for rows, cols, Qb, Rb, qc, k in parts:
+            Q[np.ix_(rows, off + np.arange(k))] = np.asarray(Qb)
+            R[np.ix_(off + np.arange(k), cols)] = np.asarray(Rb)
+            q_mid[off : off + k] = qc
+            off += k
+        return Q, R, q_mid
     Q = jnp.zeros((m, ktot), dtype=M.dtype)
     R = jnp.zeros((ktot, n), dtype=M.dtype)
     q_mid = np.empty(ktot, dtype=np.int64)

@@ -200,3 +200,34 @@ def test_schmidt_modes_halves():
     psi_exact = exact_bdg_ground_state(L, h, D)
     f = oracles.fidelity(psi_exact, mps.to_statevector())
     assert f > 1 - 1e-9, f"fidelity {f}"
+
+
+def test_pfaffian_imps_split_backend(monkeypatch):
+    """The Pfaffian iMPS route (gauge fixing via charged Procrustes on
+    complex overlap matrices) must run with device complex DISABLED — the
+    TPU constraint (complex data stays host-side throughout)."""
+    monkeypatch.setenv("TEMFPY_TPU_DEVICE_COMPLEX", "0")
+
+    def kitaev(L, t=1.0, d=1.0, mu=3.0):
+        H = np.zeros((2 * L, 2 * L), complex)
+        for i in range(L):
+            H[2 * i, 2 * i] = -mu / 2
+            H[2 * i + 1, 2 * i + 1] = mu / 2
+        for i in range(L - 1):
+            H[2 * i, 2 * (i + 1)] += -t / 2
+            H[2 * (i + 1), 2 * i] += -t / 2
+            H[2 * i + 1, 2 * (i + 1) + 1] += t / 2
+            H[2 * (i + 1) + 1, 2 * i + 1] += t / 2
+            H[2 * i, 2 * (i + 1) + 1] += d / 2
+            H[2 * (i + 1) + 1, 2 * i] += d / 2
+            H[2 * i + 1, 2 * (i + 1)] += -d / 2
+            H[2 * (i + 1), 2 * i + 1] += -d / 2
+        return H + H.conj().T - np.diag(np.diag(H).real)
+
+    imps, err = pfaffian.H_to_iMPS(
+        kitaev(16), kitaev(18), {"chi_max": 32}, 2, 8, basis="C"
+    )
+    assert isinstance(imps._B[0], np.ndarray)  # complex stays on the host
+    assert err.left_unitary < 1e-3
+    n = imps.expectation_value("N").real
+    assert np.all((n > 0) & (n < 1))
