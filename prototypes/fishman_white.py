@@ -1,0 +1,120 @@
+"""Prototype: Fishman-White mode disentangling by a banded Givens sweep.
+
+The round-3 plan (docs/reports/ROADMAP.md item 1) replaces the O(L^4)
+per-cut eigendecompositions of the Slater frontend with one O(L^2 w) sweep
+of Givens rotations over the correlation matrix (Fishman & White,
+arXiv:1504.07701): slide a window of width w along the chain; inside the
+window, find the most-converged eigenvector of the local correlation block
+(eigenvalue closest to 0 or 1), rotate it onto the window's first site
+with a ladder of two-site Givens rotations, and freeze that site.  The
+collected rotations form a banded unitary V with C ~ V diag(n) V^dagger,
+and every entanglement cut's Schmidt data is recoverable from the O(w)
+rotations crossing it.
+
+This file validates the NUMERICS (the risky part): that the sweep
+converges on gapped correlation matrices, how the frozen-mode eigenvalue
+error decays with w, and that the rotation network reproduces C.  It is
+pure numpy and not wired into the library; the TPU implementation batches
+the Givens ladders into the existing batch-last elementwise kernel style.
+
+Run:  python prototypes/fishman_white.py
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def givens(c, s):
+    """2x2 rotation [[c, -s], [s, c]] embedded by the caller."""
+    return np.array([[c, -s], [s, c]])
+
+
+def sweep(C, w):
+    """One full left-to-right Fishman-White sweep.
+
+    Returns (rotations, n_frozen, errors):
+    - rotations: list of (i, G) two-site rotations acting on sites (i, i+1),
+      in application order (V = ... G2 G1, C_diag = V^T C V)
+    - n_frozen: the frozen occupations (rounded eigenvalues), one per site
+    - errors: per site, |eigenvalue - rounded| of the frozen mode (the
+      truncation the sweep induces; decays exponentially with w for gapped
+      states)
+    """
+    C = np.array(C, dtype=float)
+    L = len(C)
+    rotations = []
+    n_frozen = np.zeros(L)
+    errors = np.zeros(L)
+    for i in range(L):
+        wl = min(w, L - i)
+        block = C[i : i + wl, i : i + wl]
+        e, v = np.linalg.eigh(block)
+        # eigenvalue closest to 0 or 1
+        dist = np.minimum(e, 1 - e)
+        k = int(np.argmin(dist))
+        vec = v[:, k]
+        errors[i] = dist[k]
+        n_frozen[i] = round(e[k])
+        # ladder of Givens rotations bringing vec onto local site 0:
+        # zero components from the bottom up
+        for j in range(wl - 1, 0, -1):
+            a, b = vec[j - 1], vec[j]
+            r = np.hypot(a, b)
+            if r < 1e-300:
+                continue
+            c, s = a / r, b / r
+            G = givens(c, s)  # acts on (j-1, j): [a, b] -> [r, 0]
+            vec[j - 1], vec[j] = r, 0.0
+            # apply to C (global indices i+j-1, i+j)
+            gi = i + j - 1
+            R = np.eye(2)
+            R[:] = [[c, s], [-s, c]]  # V^T row mix
+            rows = [gi, gi + 1]
+            C[rows, :] = R @ C[rows, :]
+            C[:, rows] = C[:, rows] @ R.T
+            rotations.append((gi, R))
+        # freeze site i at its rounded occupation (project the remainder)
+        C[i, i] = n_frozen[i]
+        C[i, i + 1 :] = 0.0
+        C[i + 1 :, i] = 0.0
+    return rotations, n_frozen, errors
+
+
+def reconstruct(rotations, n_frozen, L):
+    """C = V diag(n) V^T from the collected rotations."""
+    C = np.diag(n_frozen.astype(float))
+    for gi, R in reversed(rotations):
+        rows = [gi, gi + 1]
+        C[rows, :] = R.T @ C[rows, :]
+        C[:, rows] = C[:, rows] @ R
+    return C
+
+
+def gapped_chain_C(L, delta=0.3):
+    H = np.zeros((L, L))
+    for i in range(L - 1):
+        H[i, i + 1] = H[i + 1, i] = -1.0 - delta * (-1) ** i
+    e, v = np.linalg.eigh(H)
+    occ = v[:, e < 0]
+    return occ @ occ.T
+
+
+def main():
+    L = 64
+    C = gapped_chain_C(L)
+    print(f"L = {L} dimerized chain (gapped)")
+    print(f"{'w':>4} {'max frozen err':>16} {'|C - V n V^T|max':>18} {'n_rot':>7}")
+    for w in (4, 6, 8, 10, 12):
+        rot, nf, err = sweep(C, w)
+        C_rec = reconstruct(rot, nf, L)
+        dev = np.abs(C_rec - C).max()
+        print(f"{w:>4} {err.max():>16.3e} {dev:>18.3e} {len(rot):>7}")
+    print()
+    print("Expected: frozen-mode error (the method's truncation) decays")
+    print("exponentially with w; the reconstruction deviation tracks the")
+    print("accumulated frozen error.  Rotations per sweep ~ L * w.")
+
+
+if __name__ == "__main__":
+    main()
