@@ -1,7 +1,7 @@
 """TeMFpy-TPU: a TPU-native library for converting fermionic mean-field states
 into matrix product states.
 
-This is a from-scratch JAX/XLA/Pallas rebuild of the capabilities of TeMFpy
+This is a from-scratch JAX/XLA rebuild of the capabilities of TeMFpy
 (reference: temfpy/temfpy): Slater determinants and Pfaffian/BdG states are
 compressed into finite and infinite MPS, with optional Gutzwiller projection
 to spin-1/2 wavefunctions.  Unlike the reference, which is layered on TeNPy's

@@ -182,9 +182,20 @@ class MPS:
             self._S[(last + 1) % self.L if not self.finite else last + 1]
         )
         sites = [self.sites[i % self.L] for i in idx]
-        q_bonds = [
-            self.q_bond[i % self.L if not self.finite else i] for i in idx
-        ] + [self.q_bond[(last + 1) % self.L if not self.finite else last + 1]]
+        if self.finite:
+            q_bonds = [self.q_bond[i] for i in idx] + [self.q_bond[last + 1]]
+        else:
+            # wrapped bonds of a drifting cell shift by the constant per-cell
+            # charge drift delta (q_bond[L] = q_bond[0] + delta, as kept by
+            # canonical_form_infinite)
+            delta = int(self.q_bond[self.L][0]) - int(self.q_bond[0][0])
+
+            def q_at(i):
+                return np.asarray(self.q_bond[i % self.L], np.int64) + (
+                    i // self.L
+                ) * delta
+
+            q_bonds = [q_at(i) for i in idx] + [q_at(last + 1)]
         qts = [self.qtotal[i % self.L] for i in idx]
         return MPS(
             sites, Bs, svs, form="B", bc="finite",
@@ -203,12 +214,15 @@ class MPS:
         Lg = self.L // n
         Bs, sites, q_bonds, qts, svs = [], [], [self.q_bond[0]], [], [self._S[0]]
         for g in range(Lg):
-            T = jnp.asarray(self.get_B(n * g, "B"))
+            # route through _as_tensor so complex (Pfaffian) tensors stay on
+            # the host when the backend cannot hold complex dtypes (TPU)
+            T = _as_tensor(self.get_B(n * g, "B"))
+            xp = np if isinstance(T, np.ndarray) else jnp
             for j in range(1, n):
-                Tj = jnp.asarray(self.get_B(n * g + j, "B"))
+                Tj = xp.asarray(self.get_B(n * g + j, "B"))
                 a, d1, b = T.shape
                 _, d2, c = Tj.shape
-                T = jnp.einsum("anb,bmc->anmc", T, Tj).reshape(a, d1 * d2, c)
+                T = xp.einsum("anb,bmc->anmc", T, Tj).reshape(a, d1 * d2, c)
             Bs.append(T)
             members = [self.sites[n * g + j] for j in range(n)]
             q = members[0].charges
@@ -421,12 +435,10 @@ class MPS:
                 string = (
                     np.asarray(site_j.get_op("JW")) if needs_jw else None
                 )
-                E = self._env_update(E.conj().T, Bj, Bj, op=string).conj().T \
-                    if False else np.einsum(
-                        "bc,bnd,nm,cme->de", E, Bj.conj(),
-                        string if string is not None
-                        else np.eye(site_j.d), Bj,
-                    )
+                E = np.einsum(
+                    "bc,bnd,nm,cme->de", E, Bj.conj(),
+                    string if string is not None else np.eye(site_j.d), Bj,
+                )
         return out
 
     def correlation_function(self, name1: str, name2: str) -> np.ndarray:
@@ -586,9 +598,10 @@ class MPS:
         B_list = [None] * L
         S_list = [None] * (L + 1)
         S_list[L] = np.ones(1)
-        q_bonds[L] = q_bonds[L][:1] * 0 + (
-            q_bonds[L][:1] if len(q_bonds[L]) else 0
-        )  # 1-dim tail bond keeps its label
+        # the tail bond is 1-dimensional after the QR sweep; keep its label
+        q_bonds[L] = (
+            q_bonds[L][:1] if len(q_bonds[L]) else np.zeros(1, np.int64)
+        )
         carry = None
         for i in reversed(range(L)):
             T = A_list[i]

@@ -74,6 +74,10 @@ def _eigh_blocks_host(C, sizes, side):
     degenerate spectra (measured 2026-08-16), while the eigendecompositions
     are a small fraction of the conversion's work.  Eigenvalues/vectors are
     bit-compatible with LAPACK on the CPU path.
+
+    The eigenvalues stay HOST arrays: every consumer classifies them on the
+    host, and a device round trip costs ~30 ms dispatch + ~1 MB/s download
+    over the TPU tunnel (BASELINE.md).
     """
     C_h = np.asarray(C)
     L = C_h.shape[-1]
@@ -92,7 +96,7 @@ def _eigh_blocks_host(C, sizes, side):
             v[i, :x, :x] = vv
         else:
             v[i, L - x :, :x] = vv
-    return _maybe_device(e), _maybe_device(v)
+    return e, _maybe_device(v)
 
 
 def _use_host_eigh() -> bool:

@@ -846,8 +846,15 @@ def _pfaffian_matrix(V1, V2, sets1, sets2, *, mode, tolerance=1e-8, min_SV=1e-6)
         else:
             # |det U|^2 = det of the real embedding of U*; Onishi norm =
             # prod(singular values)^{1/2} = |det U|^{1/2} (device scalar —
-            # no per-site host sync in production mode)
-            norm = det_embed**0.25
+            # no per-site host sync in production mode).  Guard without a
+            # host sync: prod(s) >= min_SV for every singular value implies
+            # det_embed >= min_SV^(2 n_b), so a smaller or non-finite value
+            # proves a near-singular U block — poison the norm with NaN
+            # (surfaces in the site tensors) instead of silently returning
+            # a wrong/overflowing tensor; the checked path raises instead.
+            thresh = max(float(min_SV) ** (2 * n_b), 1e-300)
+            bad = ~jnp.isfinite(det_embed) | (det_embed < thresh)
+            norm = jnp.where(bad, jnp.nan, det_embed**0.25)
         N = (Nr, Ni)
         pad1 = np.zeros((sets1.shape[0], k1_b - k1), dtype=bool)
         pad2 = np.zeros((sets2.shape[0], k2_b - k2), dtype=bool)

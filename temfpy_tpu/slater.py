@@ -153,8 +153,8 @@ class SchmidtModes:
     """
 
     e: np.ndarray
-    frameL: object | None  # jnp (L, L)
-    colL: np.ndarray | None  # canonical -> frame column
+    frameL: object | None  # jnp (L, W) — W = L (full) or an occupied-width bucket
+    colL: np.ndarray | None  # canonical -> full ascending eigencolumn index
     frameR: object | None
     colR: np.ndarray | None
     ixL: dict | None
@@ -163,25 +163,41 @@ class SchmidtModes:
     nR: int
     n_fermion: int
     L: int
+    col0L: int = 0  # full index of compact-frame column 0 (0 for full frames)
+    col0R: int = 0
 
     def __post_init__(self):
         assert (self.frameL is None) == (self.ixL is None)
         assert (self.frameR is None) == (self.ixR is None)
         assert (self.frameL is not None) or (self.frameR is not None)
 
+    def _materialise(self, frame, col, col0, rows):
+        cols = np.asarray(col, np.int64) - col0
+        if (cols >= 0).all():
+            return frame[rows, jnp.asarray(cols)]
+        # compact frame: empty (eigenvalue ~ 0) columns were dropped at
+        # build time; they are pure gauge (never occupied by any Schmidt
+        # vector) and materialise as zero vectors
+        V = frame[rows, jnp.asarray(np.maximum(cols, 0))]
+        return jnp.where(jnp.asarray(cols >= 0)[None, :], V, 0.0)
+
     @property
     def vL(self):
         """Canonical (nL, nL) left eigenvector matrix (materialised)."""
         if self.frameL is None:
             return None
-        return self.frameL[: self.nL, jnp.asarray(self.colL)]
+        return self._materialise(
+            self.frameL, self.colL, self.col0L, slice(None, self.nL)
+        )
 
     @property
     def vR(self):
         """Canonical (nR, nR) right eigenvector matrix (materialised)."""
         if self.frameR is None:
             return None
-        return self.frameR[self.L - self.nR :, jnp.asarray(self.colR)]
+        return self._materialise(
+            self.frameR, self.colR, self.col0R, slice(self.L - self.nR, None)
+        )
 
     @property
     def n_entangled(self) -> int:
@@ -298,15 +314,25 @@ class SchmidtModes:
         vR_raw=None,
         diag_tol: float = _DIAG_TOL,
         n_fermion: int | None = None,
+        col0L: int = 0,
+        col0R: int = 0,
     ) -> "SchmidtModes":
         """Builds SchmidtModes from precomputed block eigendecompositions
-        (the batched path; ``vL_raw``/``vR_raw`` are FULL (L, L) frames as
-        returned by :func:`eigh_blocks` — block eigenvector columns first,
-        ascending eigenvalue order; block rows leading (L) / trailing (R)).
+        (the batched path; ``vL_raw``/``vR_raw`` are frames as returned by
+        :func:`eigh_blocks` — block eigenvector columns first, ascending
+        eigenvalue order; block rows leading (L) / trailing (R)).  A frame
+        may be COMPACT: only the occupied (eigenvalue > cutoff) columns are
+        stored and ``col0L``/``col0R`` give the full ascending index of its
+        column 0 (the one-sided sweep path — the dropped empty columns are
+        never occupied by any Schmidt vector, so they are pure gauge).
+
+        ``C`` may live on the host (numpy): on TPU backends the whole
+        classification runs host-side and only the frames are device data.
         """
         trunc_par = to_stopping_condition(trunc_par)
         cutoff = trunc_par.svd_min**2
-        C = jnp.asarray(C)
+        if not isinstance(C, np.ndarray):
+            C = jnp.asarray(C)
         L = C.shape[0]
         nR = L - x
 
@@ -351,20 +377,33 @@ class SchmidtModes:
             )
             e = eL_can
             # complete the SVD pairing of C_LR inside degenerate blocks,
-            # writing the rotated columns back into the frames
+            # writing the rotated columns back into the frames (two-sided
+            # cuts always carry full frames)
+            assert col0L == 0 and col0R == 0, "LR pairing needs full frames"
             CLR = C[:x, x:]
             fcL = jnp.asarray(colL[ixL["entangled"]])
             fcR_rev = jnp.asarray(colR[ixR["entangled"]][::-1].copy())
             vLE = frameL[:x, fcL]
             vRE_rev = frameR[x:, fcR_rev]
             vLE, vRE_rev = block_svd(CLR, vLE, vRE_rev, e, deg_tol)
-            frameL = frameL.at[:x, fcL].set(vLE)
-            frameR = frameR.at[x:, fcR_rev].set(vRE_rev)
+            if isinstance(frameL, np.ndarray):
+                frameL = frameL.copy()
+                frameL[:x, np.asarray(fcL)] = np.asarray(vLE)
+                frameR = frameR.copy()
+                frameR[x:, np.asarray(fcR_rev)] = np.asarray(vRE_rev)
+            else:
+                frameL = frameL.at[:x, fcL].set(vLE)
+                frameR = frameR.at[x:, fcR_rev].set(vRE_rev)
             # extra anticommutation signs on odd entangled right modes
             sign = np.ones(k)
             sign[1::2] = -1
-            fcR = jnp.asarray(colR[ixR["entangled"]])
-            frameR = frameR.at[x:, fcR].multiply(jnp.asarray(sign)[None, :])
+            fcR = colR[ixR["entangled"]]
+            if isinstance(frameR, np.ndarray):
+                frameR[x:, fcR] *= sign[None, :]
+            else:
+                frameR = frameR.at[x:, jnp.asarray(fcR)].multiply(
+                    jnp.asarray(sign)[None, :]
+                )
         elif eL is not None:
             e, k = eL_can, kL
         else:
@@ -372,7 +411,9 @@ class SchmidtModes:
 
         logger.info("%d Schmidt modes found", k)
         if n_fermion is None:
-            n_fermion = int(np.round(float(jnp.trace(C).real)))
+            n_fermion = int(np.round(float(np.trace(C).real))) if isinstance(
+                C, np.ndarray
+            ) else int(np.round(float(jnp.trace(C).real)))
 
         # borderline (widened) modes may carry eigenvalues at/below 0 or
         # at/above 1 within solver noise; clip so Schmidt weights stay valid
@@ -390,6 +431,8 @@ class SchmidtModes:
             nR=nR,
             n_fermion=n_fermion,
             L=L,
+            col0L=col0L,
+            col0R=col0R,
         )
         if (frameL is not None) and (frameR is not None):
             check_schmidt_decomposition(modes, np.asarray(C), diag_tol)
@@ -411,7 +454,8 @@ class SchmidtModes:
         which = which.upper()
         err = "`which` must specify at least one of (L)eft or (R)ight"
         assert ("L" in which) or ("R" in which), err
-        C = jnp.asarray(C)
+        if not isinstance(C, np.ndarray):
+            C = jnp.asarray(C)
         L = C.shape[0]
         assert C.shape == (L, L)
 
@@ -612,7 +656,14 @@ def _occupation_indices(sets: np.ndarray, width: int, sentinel_base: int):
 
 _N_CHECK = 32
 """Pairs per swap bucket cross-checked against the direct determinant path
-at every materialisation (guards against an ill-conditioned class base)."""
+at every materialisation (guards against an ill-conditioned class base).
+
+Deliberate sampling tradeoff: only these strided pairs are verified, with
+the tolerance scaled by the max |det| of the sampled subset, so a base that
+is well-conditioned on the sampled pairs but marginal on unsampled ones can
+pass.  The per-class direct fallback and the full-conversion equivalence
+test (tests/test_det_updates.py) bound the blast radius; raising this
+constant trades one extra device batch per bucket for tighter coverage."""
 
 
 def _use_det_updates() -> bool:
@@ -1210,8 +1261,10 @@ def _plan_site(
         modes_ket = Schmidt_ket.modes
         frame_bra = modes_bra.frameL if side == "L" else modes_bra.frameR
         col_bra = modes_bra.colL if side == "L" else modes_bra.colR
+        col0_bra = modes_bra.col0L if side == "L" else modes_bra.col0R
         frame_ket = modes_ket.frameL if side == "L" else modes_ket.frameR
         col_ket = modes_ket.colL if side == "L" else modes_ket.colR
+        col0_ket = modes_ket.col0L if side == "L" else modes_ket.col0R
         assert frame_bra is not None, f"`Schmidt_bra` contains no {mode} Schmidt vectors"
         assert frame_ket is not None, f"`Schmidt_ket` contains no {mode} Schmidt vectors"
         sets_bra = Schmidt_bra.sets(mode)
@@ -1303,7 +1356,7 @@ def _plan_site(
         assert len(pool) >= n_padA, "not enough free frame rows for padding"
         padA_rows = pool[:n_padA]
 
-        def descriptors(order, sign, k_side, col_map, is_bra):
+        def descriptors(order, sign, k_side, col_map, col0, is_bra):
             """(col, kind, row, sign) device-descriptor arrays of width
             mb = kb + sb.  kind 0 = frame column, 1 = one-hot(row),
             2 = zero column.
@@ -1341,13 +1394,19 @@ def _plan_site(
                 ppos = np.arange(sb + k, sb + kb)
 
             def to_frame_col(c):
-                """Canonical sets-column index -> (kind, frame col / row)."""
+                """Canonical sets-column index -> (kind, frame col / row).
+
+                ``col0`` shifts full ascending eigencolumn indices into the
+                compact frame (occupied columns only); referenced columns
+                are always occupied, hence always >= col0."""
                 if physical and is_bra:
                     if c == phys_pos:
                         return 1, 0, phys_row
                     if mode == "right":
                         c = c - 1  # phys occupies sets column 0
-                return 0, int(col_map[c]), 0
+                fc = int(col_map[c]) - col0
+                assert fc >= 0, "referenced an empty (dropped) frame column"
+                return 0, fc, 0
 
             for p, c, s in zip(apos, always, sign_always):
                 kind[p], col[p], row[p] = to_frame_col(int(c))
@@ -1359,8 +1418,12 @@ def _plan_site(
             row[ppos] = padA_rows
             return col, kind, row, sgn
 
-        colb, kindb, rowb, sgnb = descriptors(order_b, sign_b, k_bra, col_bra, True)
-        colk, kindk, rowk, sgnk = descriptors(order_k, sign_k, k_ket, col_ket, False)
+        colb, kindb, rowb, sgnb = descriptors(
+            order_b, sign_b, k_bra, col_bra, col0_bra, True
+        )
+        colk, kindk, rowk, sgnk = descriptors(
+            order_k, sign_k, k_ket, col_ket, col0_ket, False
+        )
 
         # sets over the sometimes region: [rest..., padS(False)]
         def region_sets(sets, k_side):
@@ -1528,30 +1591,33 @@ def build_site_tensors(pairs):
         if len(entries) == 1:
             i, j = entries[0]
             plan = fill_plans[i][3][j]
-            vals = _det_direct_vals_impl(
-                datas[i].sometimes_matrix, datas[i].det_always,
-                jnp.asarray(plan["idx_b"]), jnp.asarray(plan["idx_k"]),
-            )
-            T = scatter_vals_kernel(
-                vals, tuple(jnp.asarray(s) for s in plan["scat"]),
-                shape=shape_b,
-            )
+            with profiling.stage("fill/det_stack"):
+                ib = jnp.asarray(plan["idx_b"])
+                ik = jnp.asarray(plan["idx_k"])
+                scat = tuple(jnp.asarray(s) for s in plan["scat"])
+            with profiling.stage("fill/det_dispatch"):
+                vals = _det_direct_vals_impl(
+                    datas[i].sometimes_matrix, datas[i].det_always, ib, ik,
+                )
+                T = scatter_vals_kernel(vals, scat, shape=shape_b)
             _accumulate(i, T)
         else:
-            M = jnp.stack([datas[i].sometimes_matrix for i, _ in entries])
-            det = jnp.stack([datas[i].det_always for i, _ in entries])
-            ib = jnp.asarray(
-                np.stack([fill_plans[i][3][j]["idx_b"] for i, j in entries])
-            )
-            ik = jnp.asarray(
-                np.stack([fill_plans[i][3][j]["idx_k"] for i, j in entries])
-            )
-            sc = np.stack(
-                [fill_plans[i][3][j]["scat"] for i, j in entries]
-            )  # (G, naxes, P)
-            scat = tuple(jnp.asarray(sc[:, a]) for a in range(sc.shape[1]))
-            vals_s = _det_direct_group(M, det, ib, ik)
-            T_s = _scatter_group(vals_s, scat, shape=shape_b)
+            with profiling.stage("fill/det_stack"):
+                M = jnp.stack([datas[i].sometimes_matrix for i, _ in entries])
+                det = jnp.stack([datas[i].det_always for i, _ in entries])
+                ib = jnp.asarray(
+                    np.stack([fill_plans[i][3][j]["idx_b"] for i, j in entries])
+                )
+                ik = jnp.asarray(
+                    np.stack([fill_plans[i][3][j]["idx_k"] for i, j in entries])
+                )
+                sc = np.stack(
+                    [fill_plans[i][3][j]["scat"] for i, j in entries]
+                )  # (G, naxes, P)
+                scat = tuple(jnp.asarray(sc[:, a]) for a in range(sc.shape[1]))
+            with profiling.stage("fill/det_dispatch"):
+                vals_s = _det_direct_group(M, det, ib, ik)
+                T_s = _scatter_group(vals_s, scat, shape=shape_b)
             for T, (i, _j) in zip(_unstack(T_s), entries):
                 _accumulate(i, T)
 
@@ -1578,16 +1644,17 @@ def build_site_tensors(pairs):
         tgroups.setdefault(
             (e["M_aug"].shape, len(e["plan"]["r0"])), []
         ).append(e)
-    for shape_key, es in tgroups.items():
-        for j0 in range(0, len(es), GB):
-            chunk = es[j0 : j0 + GB]
-            pad = chunk + [chunk[0]] * (GB - len(chunk))
-            Ms = jnp.stack([e["M_aug"] for e in pad])
-            r0s = jnp.asarray(np.stack([e["plan"]["r0"] for e in pad]))
-            c0s = jnp.asarray(np.stack([e["plan"]["c0"] for e in pad]))
-            D0s, Gs, Ps, T2s, T3s = det_swap_tables_group(Ms, r0s, c0s)
-            for t, e in enumerate(chunk):
-                e["tables"] = (D0s[t], Gs[t], Ps[t], T2s[t], T3s[t])
+    with profiling.stage("fill/swap_tables"):
+        for shape_key, es in tgroups.items():
+            for j0 in range(0, len(es), GB):
+                chunk = es[j0 : j0 + GB]
+                pad = chunk + [chunk[0]] * (GB - len(chunk))
+                Ms = jnp.stack([e["M_aug"] for e in pad])
+                r0s = jnp.asarray(np.stack([e["plan"]["r0"] for e in pad]))
+                c0s = jnp.asarray(np.stack([e["plan"]["c0"] for e in pad]))
+                D0s, Gs, Ps, T2s, T3s = det_swap_tables_group(Ms, r0s, c0s)
+                for t, e in enumerate(chunk):
+                    e["tables"] = (D0s[t], Gs[t], Ps[t], T2s[t], T3s[t])
 
     # stage B: per-bucket determinant batches + check oracles, chunked
     subs = []
@@ -1603,6 +1670,8 @@ def build_site_tensors(pairs):
             se["sub"]["cin"].shape,
         )
         sgroups.setdefault(key, []).append(se)
+    _sw = profiling.stage("fill/swap_dets")
+    _sw.__enter__()
     for key, ses in sgroups.items():
         for j0 in range(0, len(ses), GB):
             chunk = ses[j0 : j0 + GB]
@@ -1612,7 +1681,10 @@ def build_site_tensors(pairs):
                 return jnp.stack([fn(se) for se in pad])
 
             def stkn(name):
-                return jnp.asarray(np.stack([se["sub"][name] for se in pad]))
+                with profiling.stage("fill/swap_stack"):
+                    return jnp.asarray(
+                        np.stack([se["sub"][name] for se in pad])
+                    )
 
             vals_s, chk_s = _det_swaps_group(
                 stk(lambda se: se["e"]["M_aug"]),
@@ -1640,23 +1712,26 @@ def build_site_tensors(pairs):
                 se["vals"] = vals_u[t]
                 se["chk"] = (chk_u[t], chkd_u[t])
 
+    _sw.__exit__(None, None, None)
+
     # stage C: scatters, chunked by (batch, bucketed tensor shape)
     cgroups: dict = {}
     for se in subs:
         i = se["e"]["i"]
         shape_b = _bucket_shape(fill_plans[i][0])
         cgroups.setdefault((se["vals"].shape, shape_b), []).append(se)
-    for (vshape, shape_b), ses in cgroups.items():
-        for j0 in range(0, len(ses), GB):
-            chunk = ses[j0 : j0 + GB]
-            pad = chunk + [chunk[0]] * (GB - len(chunk))
-            vals_s = jnp.stack([se["vals"] for se in pad])
-            sc = np.stack([se["sub"]["scat"] for se in pad])
-            scat = tuple(jnp.asarray(sc[:, a]) for a in range(sc.shape[1]))
-            T_s = _scatter_group(vals_s, scat, shape=shape_b)
-            T_u = _unstack(T_s)
-            for t, se in enumerate(chunk):
-                se["part"] = T_u[t]
+    with profiling.stage("fill/swap_scatter"):
+        for (vshape, shape_b), ses in cgroups.items():
+            for j0 in range(0, len(ses), GB):
+                chunk = ses[j0 : j0 + GB]
+                pad = chunk + [chunk[0]] * (GB - len(chunk))
+                vals_s = jnp.stack([se["vals"] for se in pad])
+                sc = np.stack([se["sub"]["scat"] for se in pad])
+                scat = tuple(jnp.asarray(sc[:, a]) for a in range(sc.shape[1]))
+                T_s = _scatter_group(vals_s, scat, shape=shape_b)
+                T_u = _unstack(T_s)
+                for t, se in enumerate(chunk):
+                    se["part"] = T_u[t]
 
     # collate per-site class entries for the resolve
     for e in entries:
@@ -1705,7 +1780,29 @@ def build_site_tensors(pairs):
 
 def correlation_matrix(H, N: int | None = None):
     r"""Ground-state correlation matrix C_ij = <c_j^dagger c_i> of a
-    mean-field Hamiltonian (reference slater.py:1150-1180); eigh on device."""
+    mean-field Hamiltonian (reference slater.py:1150-1180).
+
+    On TPU backends (host-eigh mode) everything stays in host numpy — the
+    eigendecomposition runs on host LAPACK anyway and a device round trip of
+    C costs seconds over the tunnel (download ~1 MB/s, BASELINE.md); the
+    drivers upload the small pieces they need on device.  On CPU/GPU the
+    computation runs on device."""
+    from .ops.linalg import _use_host_eigh
+    from .config import complex_on_device
+
+    if _use_host_eigh() or (
+        np.iscomplexobj(np.asarray(H) if isinstance(H, np.ndarray) else H)
+        and not complex_on_device()
+    ):
+        H_h = np.asarray(H)
+        e, v = np.linalg.eigh(H_h)
+        if N is None:
+            N = int((e < 0).sum())
+        v = v[:, :N]
+        C = v @ v.conj().T
+        if np.iscomplexobj(C) and np.abs(C.imag).max() < 1e-14:
+            C = np.ascontiguousarray(C.real)
+        return C, N
     H = jnp.asarray(H)
     e, v = robust_eigh(H)
     if N is None:
@@ -1721,7 +1818,14 @@ def correlation_matrix(H, N: int | None = None):
 def spinful_correlation_matrix(C, ph: bool = True):
     r"""Doubles a correlation matrix for spin-1/2 fermions: even/odd sites
     are up/down orbitals; optionally particle-hole transforms the down sector
-    (reference slater.py:1183-1213)."""
+    (reference slater.py:1183-1213).  Host inputs stay on the host."""
+    if isinstance(C, np.ndarray):
+        n, m = C.shape
+        assert n == m, f"Got non-square {C.shape} correlation matrix"
+        C2 = np.zeros((2 * n, 2 * n), dtype=C.dtype)
+        C2[::2, ::2] = C
+        C2[1::2, 1::2] = np.eye(n, dtype=C.dtype) - C if ph else C
+        return C2
     C = jnp.asarray(C)
     n, m = C.shape
     assert n == m, f"Got non-square {C.shape} correlation matrix"
@@ -1734,16 +1838,110 @@ def spinful_correlation_matrix(C, ph: bool = True):
     return C2
 
 
+def _use_host_frontend(C) -> bool:
+    """Whether the sweep eigendecompositions run through the compact host
+    frontend (TPU backends; see :func:`_compact_sweep_frames`)."""
+    from .ops.linalg import _use_host_eigh
+
+    return _use_host_eigh() and not np.iscomplexobj(C)
+
+
+def _compact_sweep_frames(C_host, sizes, side, cutoff, chunk):
+    """Host-LAPACK eigendecompositions of all sweep blocks with only the
+    OCCUPIED (eigenvalue > cutoff) eigenvector columns retained.
+
+    TPU-first data motion (the tunnel uploads at ~120 MB/s but downloads at
+    ~1 MB/s, BASELINE.md): eigenvalues never leave the host, and the
+    compact frames — full row dimension L, occupied columns only, widths
+    padded to power-of-two buckets — are stacked in slabs of ``chunk`` cuts
+    and shipped in ONE upload per slab (~3x less volume than full (L, L)
+    frames).  The dropped empty columns are pure gauge: no Schmidt vector
+    ever occupies them, so no downstream consumer gathers them.
+
+    Returns (e_list, col0_list, frame_list) per cut; frames are device
+    handles sliced lazily from the slabs.
+    """
+    L = C_host.shape[0]
+    n = len(sizes)
+    es, col0s, frames = [], [], []
+    for j0 in range(0, n, chunk):
+        sl = [int(s) for s in sizes[j0 : j0 + chunk]]
+        blk_e, blk_v, widths = [], [], []
+        with profiling.stage("eigh/lapack"):
+            for x in sl:
+                blk = (
+                    C_host[:x, :x] if side == "L" else C_host[L - x :, L - x :]
+                )
+                ee, vv = np.linalg.eigh(blk) if x else (
+                    np.zeros(0), np.zeros((0, 0))
+                )
+                x0 = int(np.searchsorted(ee, cutoff))
+                blk_e.append(ee)
+                blk_v.append(vv[:, x0:])
+                widths.append(x - x0)
+        Wb = 32
+        while Wb < max(widths, default=1):
+            Wb *= 2
+        with profiling.stage("eigh/pack"):
+            # slab count padded to `chunk` so one gather executable per
+            # (chunk, L, Wb) shape serves every slab
+            slab = np.zeros((chunk, L, Wb), dtype=C_host.dtype)
+            for i, x in enumerate(sl):
+                w = widths[i]
+                if not w:
+                    continue
+                if side == "L":
+                    slab[i, :x, :w] = blk_v[i]
+                else:
+                    slab[i, L - x :, :w] = blk_v[i]
+        with profiling.stage("eigh/upload"):
+            dev = jnp.asarray(slab)
+        for i in range(len(sl)):
+            es.append(blk_e[i])
+            col0s.append(len(blk_e[i]) - widths[i])
+            frames.append(_take_frame(dev, jnp.asarray(i, jnp.int32)))
+    return es, col0s, frames
+
+
 def _schmidt_vectors_batched(
     C, cuts, which: str, trunc_par, diag_tol: float, chunk: int
 ):
     """Schmidt vectors for many cuts sharing one batched eigh slab.
 
     ``which`` is "L" or "R"; yields SchmidtVectors per cut in order."""
-    C = jnp.asarray(C)
+    trunc_par = to_stopping_condition(trunc_par)
+    host_mode = _use_host_frontend(C)
+    C_host = C if isinstance(C, np.ndarray) else None
+    if host_mode and C_host is None:
+        C_host = np.asarray(C)  # one download if the caller gave device data
     L = C.shape[0]
-    n_fermion = int(np.round(float(jnp.trace(C).real)))
+    if C_host is not None:
+        n_fermion = int(np.round(float(np.trace(C_host).real)))
+    else:
+        n_fermion = int(np.round(float(jnp.trace(jnp.asarray(C)).real)))
     sizes = [x if which == "L" else L - x for x in cuts]
+
+    if host_mode:
+        with profiling.stage("eigh_batch"):
+            e_list, col0_list, frame_list = _compact_sweep_frames(
+                C_host, sizes, which, trunc_par.svd_min**2, chunk
+            )
+        out = []
+        for i, x in enumerate(cuts):
+            kw = dict(diag_tol=diag_tol, n_fermion=n_fermion)
+            if which == "L":
+                kw.update(eL=e_list[i], vL_raw=frame_list[i],
+                          col0L=col0_list[i])
+            else:
+                kw.update(eR=e_list[i], vR_raw=frame_list[i],
+                          col0R=col0_list[i])
+            with profiling.stage("schmidt_modes"):
+                modes = SchmidtModes.from_eigh(C_host, x, trunc_par, **kw)
+            with profiling.stage("schmidt_enumeration"):
+                out.append(SchmidtVectors.from_schmidt_modes(modes, trunc_par))
+        return out
+
+    C = jnp.asarray(C) if C_host is None else C
     with profiling.stage("eigh_batch"):
         e_all, v_all = eigh_blocks(C, sizes, which, chunk=chunk)
         e_host = np.asarray(e_all)
@@ -1809,7 +2007,9 @@ def C_to_MPS(
     elif spinful is not None:
         raise ValueError(f"`spinful` must be 'simple', 'PH', or `None`, got {spinful!r}")
 
-    C = jnp.asarray(C)
+    # TPU backends: classification/enumeration are host work, so C stays a
+    # host array and only the compact eigenvector frames ship to the device
+    C = np.asarray(C) if _use_host_frontend(C) else jnp.asarray(C)
     L = C.shape[0]
     assert C.shape == (L, L), f"Got non-square {C.shape} correlation matrix"
 
@@ -1922,8 +2122,12 @@ def C_to_iMPS(
     elif spinful is not None:
         raise ValueError(f"`spinful` must be 'simple', 'PH', or `None`, got {spinful!r}")
 
-    C_short = jnp.asarray(C_short)
-    C_long = jnp.asarray(C_long)
+    if _use_host_frontend(C_short):
+        C_short = np.asarray(C_short)
+        C_long = np.asarray(C_long)
+    else:
+        C_short = jnp.asarray(C_short)
+        C_long = jnp.asarray(C_long)
     L_short = C_short.shape[0]
     L_long = C_long.shape[0]
     assert C_short.shape == (L_short, L_short)
@@ -1934,7 +2138,7 @@ def C_to_iMPS(
     )
 
     if offset == "auto":
-        offset = round(float(jnp.trace(C_short[:cut, :cut]).real))
+        offset = round(float(np.trace(np.asarray(C_short[:cut, :cut])).real))
         logger.info("Using offset %s for conserved fermion number", offset)
     offset = int(offset)
 
