@@ -70,7 +70,87 @@ def complex_on_device() -> bool:
         return True
     if mode == "0":
         return False
-    return jax.default_backend() in ("cpu", "gpu")
+    # inside a small-problem CPU reroute (compute_context), complex data
+    # lives on the XLA:CPU device, where complex dtypes work natively
+    return jax.default_backend() in ("cpu", "gpu") or prefer_cpu_now()
+
+
+def cpu_device():
+    """The in-process XLA:CPU device, or None if unavailable."""
+    try:
+        return jax.devices("cpu")[0]
+    except Exception:
+        return None
+
+
+# Calibrated on the tunnel-attached v5e (2026-08-17): the L=128/chi=512
+# cylinder headline (L^2 chi^2 = 4.3e9) wins on the TPU (28.9-45 s vs 64.7 s
+# one quiet CPU core), while the aux configs (<= 2.7e8) lose 4-10x to
+# dispatch/transfer latency.
+_SMALL_WORK = float(os.environ.get("TEMFPY_TPU_SMALL_WORK", "1e9"))
+
+import threading as _threading  # noqa: E402
+
+_tls = _threading.local()
+
+
+def prefer_cpu_now() -> bool:
+    """True inside a :func:`compute_context` that rerouted to XLA:CPU.
+
+    Layout branches in the kernels (batch-last vs batch-first LU, one-hot
+    MXU selection vs plain gather) consult this at trace time, because a
+    traced array cannot be asked for its device."""
+    return getattr(_tls, "cpu_mode", False)
+
+
+import contextlib as _contextlib  # noqa: E402
+
+
+@_contextlib.contextmanager
+def _cpu_reroute(dev):
+    """default_device(cpu) + the trace-time layout flag, with the persistent
+    compilation cache suspended: XLA:CPU AOT reload is unreliable (machine
+    feature mismatch on reload -> failed loads / SIGILL risk — the reason
+    the cache is never enabled on CPU backends), and a rerouted flow would
+    otherwise both store and re-load CPU executables through it."""
+    prev = getattr(_tls, "cpu_mode", False)
+    prev_cache = jax.config.jax_compilation_cache_dir
+    _tls.cpu_mode = True
+    try:
+        if prev_cache is not None:
+            jax.config.update("jax_compilation_cache_dir", None)
+        with jax.default_device(dev):
+            yield
+    finally:
+        _tls.cpu_mode = prev
+        if prev_cache is not None:
+            jax.config.update("jax_compilation_cache_dir", prev_cache)
+
+
+
+def compute_context(work_estimate: float):
+    """Device-placement policy for one conversion/projection flow.
+
+    On accelerator backends, problems below the ``TEMFPY_TPU_SMALL_WORK``
+    work estimate (~L^2 chi^2) run on the in-process XLA:CPU backend via
+    ``jax.default_device``: small conversions are dispatch/transfer bound —
+    on the tunnel-attached TPU every device->host fetch pays ~30 ms latency
+    at ~1 MB/s (BASELINE.md), which dwarfs their compute.  Large problems
+    and CPU/GPU backends return a null context (no behaviour change).
+    Override: TEMFPY_TPU_SMALL_WORK=0 disables the rerouting entirely.
+    """
+    if jax.default_backend() in ("cpu", "gpu"):
+        return _contextlib.nullcontext()
+    if not (_SMALL_WORK > 0) or work_estimate >= _SMALL_WORK:
+        return _contextlib.nullcontext()
+    from .parallel.mesh import active_mesh
+
+    if active_mesh() is not None:  # mesh runs stay on the mesh devices
+        return _contextlib.nullcontext()
+    dev = cpu_device()
+    if dev is None:
+        return _contextlib.nullcontext()
+    return _cpu_reroute(dev)
 
 
 def set_dtype(dtype) -> None:

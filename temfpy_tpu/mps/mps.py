@@ -125,6 +125,31 @@ class MPS:
     def get_SR(self, i: int) -> np.ndarray:
         return self._S[i + 1]
 
+    def device_context(self):
+        """Context manager pinning jax work to the device this MPS's tensors
+        live on.  A small-problem conversion rerouted to XLA:CPU
+        (config.compute_context) leaves tensors committed to the CPU device
+        while the default backend is still the accelerator; without the
+        context, fresh arrays (jnp.zeros, uploads) would land on the
+        accelerator and every subsequent op would pay tunnel round trips."""
+        import contextlib
+        import jax
+
+        t = self._B[0]
+        if isinstance(t, np.ndarray):
+            return contextlib.nullcontext()
+        try:
+            (d,) = t.devices()
+        except Exception:
+            return contextlib.nullcontext()
+        if d.platform != jax.default_backend():
+            from ..config import _cpu_reroute
+
+            if d.platform == "cpu":
+                return _cpu_reroute(d)
+            return jax.default_device(d)
+        return contextlib.nullcontext()
+
     def copy(self) -> "MPS":
         out = MPS(
             self.sites,
@@ -555,6 +580,10 @@ class MPS:
         ``cutoff`` (relative).  Replaces TeNPy ``canonical_form_finite`` used
         after Gutzwiller projection (reference gutzwiller.py:467-470).
         """
+        with self.device_context():
+            return self._canonical_form_finite(cutoff, chi_max)
+
+    def _canonical_form_finite(self, cutoff, chi_max):
         assert self.finite
         L = self.L
         chinfo = self.chinfo
@@ -665,6 +694,10 @@ class MPS:
         reference's use of TeNPy canonical_form_infinite1, which keeps
         quantum numbers (gutzwiller.py:473).
         """
+        with self.device_context():
+            return self._canonical_form_infinite(cutoff, tol, max_iter)
+
+    def _canonical_form_infinite(self, cutoff, tol, max_iter):
         assert not self.finite
         L = self.L
         T = [jnp.asarray(Ti) for Ti in self._B]

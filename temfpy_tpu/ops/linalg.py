@@ -110,6 +110,15 @@ def _use_host_eigh() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+def _cpu_layout() -> bool:
+    """Whether kernels should use the XLA:CPU-friendly layouts (batch-first
+    LU, plain gathers): true on the CPU backend and inside a small-problem
+    CPU reroute (config.compute_context).  Consulted at trace time."""
+    from ..config import prefer_cpu_now
+
+    return jax.default_backend() == "cpu" or prefer_cpu_now()
+
+
 # --------------------------------------------------------------------------
 # Robust decompositions: host-LAPACK routing on TPU backends, where the
 # QDWH-based eigh/SVD are inaccurate (~1e-6) on degenerate spectra and NaN
@@ -307,7 +316,7 @@ def lu_det(A):
     if n == 0:
         return jnp.ones(tuple(batch), dtype=A.dtype)
     flat = A.reshape((-1, n, n))
-    if n >= 2 and jax.default_backend() != "cpu":
+    if n >= 2 and not _cpu_layout():
         out = _lu_det_batch_last(jnp.transpose(flat, (1, 2, 0)))
     else:
         one = jnp.ones((), A.dtype)
@@ -328,7 +337,7 @@ def gauss_solve_det(A, B):
     M = jnp.concatenate([A, B], axis=1)
     idx = jnp.arange(n)
 
-    if jax.default_backend() != "cpu":
+    if not _cpu_layout():
         return _gauss_solve_det_implicit(M, n)
 
     def step(k, carry):
@@ -499,7 +508,7 @@ def gather_submatrices(M, idx_b, idx_k, cross: bool = False):
     paired rows, giving (P, w, w); ``cross=True``: all row/col-list pairs,
     giving (nb, nk, w, w)), computed with one-hot MXU matmuls on
     accelerators and a plain gather on CPU.  Bit-exact on both paths."""
-    if jax.default_backend() == "cpu":
+    if _cpu_layout():
         if cross:
             return M[idx_b[:, None, :, None], idx_k[None, :, None, :]]
         return M[idx_b[:, :, None], idx_k[:, None, :]]

@@ -1236,6 +1236,20 @@ def C_to_MPS(
     compile complex128 (the default inherits the input dtype)."""
     trunc_par = to_stopping_condition(trunc_par)
 
+    from .config import compute_context
+
+    with compute_context(
+        (float(np.asarray(C).shape[0]) / 2) ** 2
+        * float(trunc_par.chi_max or 4096) ** 2
+    ):
+        return _C_to_MPS_body(
+            C, trunc_par, basis, diag_tol, ortho_center, unit_cell_width,
+            eigh_chunk, dtype,
+        )
+
+
+def _C_to_MPS_body(C, trunc_par, basis, diag_tol, ortho_center,
+                   unit_cell_width, eigh_chunk, dtype):
     if basis == "C":
         C = matrix_C2M(C)
     elif basis != "M":
@@ -1357,10 +1371,25 @@ def C_to_iMPS(
     right-side errors are identically zero.
     """
     from . import iMPS as imps_mod
+    from .config import compute_context
 
     trunc_par = to_stopping_condition(trunc_par)
     unitary_tol = imps_mod._UNITARY_TOL if unitary_tol is None else unitary_tol
     schmidt_tol = imps_mod._SCHMIDT_TOL if schmidt_tol is None else schmidt_tol
+
+    with compute_context(
+        (float(np.asarray(C_long).shape[0]) / 2) ** 2
+        * float(trunc_par.chi_max or 4096) ** 2
+    ):
+        return _C_to_iMPS_body(
+            C_short, C_long, trunc_par, sites_per_cell, cut, basis, diag_tol,
+            unitary_tol, schmidt_tol, unit_cell_width,
+        )
+
+
+def _C_to_iMPS_body(C_short, C_long, trunc_par, sites_per_cell, cut, basis,
+                    diag_tol, unitary_tol, schmidt_tol, unit_cell_width):
+    from . import iMPS as imps_mod
 
     if basis == "C":
         C_short = matrix_C2M(C_short)

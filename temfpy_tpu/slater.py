@@ -683,7 +683,9 @@ def _use_det_updates() -> bool:
         return False
     if mode == "1":
         return True
-    return jax.default_backend() == "cpu"
+    from .ops.linalg import _cpu_layout
+
+    return _cpu_layout()
 
 
 def _bucket_shape(shape: tuple) -> tuple:
@@ -784,6 +786,52 @@ def _det_direct_group(M, det_always, idx_b, idx_k):
     """vmapped direct determinant batch over a group of sites sharing one
     bucket (see ops.linalg._det_direct_vals_impl)."""
     return jax.vmap(_det_direct_vals_impl)(M, det_always, idx_b, idx_k)
+
+
+def _det_fill_packed_impl(M, det_always, occ_b, occ_k, pr, pc,
+                          tab0, tab1, tab2, *, shape, spec):
+    """Fused packed fill of one width bucket: gather each pair's bra/ket
+    index rows from per-unique-bond occupation tables, evaluate the
+    identity-padded determinant batch, and scatter into the bucketed dense
+    tensor — all in ONE dispatch.
+
+    Host->device index traffic is O(P + chi*w) instead of O(P*w): only the
+    (P_b,) pair-id vectors and small per-bond tables ship; the (P, w)
+    gather-index matrices and the scatter coordinates are derived on device
+    (the tunnel uploads at ~120 MB/s, so the previous per-pair index
+    matrices dominated the fill's host time — BASELINE.md round 3).
+
+    ``spec`` maps tensor axes to pair ids: "r" -> tab[pr], "c" -> tab[pc].
+    Padded pairs point at sentinel table rows: all-sentinel occupation rows
+    (det = 1) and a trash slot on the leading scatter axis.
+    """
+    from .ops.linalg import block_diag_identity_pad, gather_submatrices, lu_det
+
+    w = occ_b.shape[1]
+    M_aug = block_diag_identity_pad(M, w)
+    idx_b = occ_b[pr]
+    idx_k = occ_k[pc]
+    sub = gather_submatrices(M_aug, idx_b, idx_k)
+    vals = lu_det(sub) * det_always
+    sel = {"r": pr, "c": pc}
+    tabs = (tab0, tab1, tab2)
+    coords = tuple(tabs[i][sel[s]] for i, s in enumerate(spec))
+    T = jnp.zeros((shape[0] + 1,) + tuple(shape[1:]), vals.dtype)
+    T = T.at[coords].set(vals)
+    return T[: shape[0]]
+
+
+_det_fill_packed_kernel = partial(
+    jax.jit, static_argnames=("shape", "spec")
+)(_det_fill_packed_impl)
+
+
+@partial(jax.jit, static_argnames=("shape", "spec"))
+def _det_fill_packed_group(M, det, ob, ok, pr, pc, t0, t1, t2, *, shape, spec):
+    """vmapped :func:`_det_fill_packed_impl` over a group of sites sharing
+    one shape bucket."""
+    f = partial(_det_fill_packed_impl, shape=shape, spec=spec)
+    return jax.vmap(f)(M, det, ob, ok, pr, pc, t0, t1, t2)
 
 
 @partial(jax.jit, static_argnames=("shape",))
@@ -913,10 +961,59 @@ class MPSTensorData:
             r_l, c_l = direct[w_b]
             rows = np.concatenate(r_l)
             cols = np.concatenate(c_l)
-            idx_b, idx_k, scat = self._direct_arrays(rows, cols, w_b, m, shape)
-            plans.append({"kind": "direct", "idx_b": idx_b, "idx_k": idx_k,
-                          "scat": scat})
+            plans.append(self._direct_plan_packed(rows, cols, w_b, m, shape))
         return shape, q_l, q_r, plans
+
+    def _direct_plan_packed(self, rows, cols, w_b, m, shape):
+        """Packed direct-fill plan: per-unique-bond occupation tables +
+        (P_b,) pair-id vectors + per-axis scatter value tables (consumed by
+        :func:`_det_fill_packed_impl`)."""
+
+        def pow2(n, lo):
+            b = lo
+            while b < n:
+                b *= 2
+            return b
+
+        P = len(rows)
+        P_b = pow2(P, 256)
+        ub, inv_r = np.unique(rows, return_inverse=True)
+        uk, inv_c = np.unique(cols, return_inverse=True)
+        occ_b_u, _ = _occupation_indices(self.sets_bra[ub], w_b, m)
+        occ_k_u, _ = _occupation_indices(self.sets_ket[uk], w_b, m)
+        pad_row = m + np.arange(w_b, dtype=np.int32)
+        R_b = pow2(len(ub) + 1, 32)
+        K_b = pow2(len(uk) + 1, 32)
+        occ_b = np.broadcast_to(pad_row, (R_b, w_b)).copy()
+        occ_b[: len(ub)] = occ_b_u
+        occ_k = np.broadcast_to(pad_row, (K_b, w_b)).copy()
+        occ_k[: len(uk)] = occ_k_u
+        pr = np.full(P_b, R_b - 1, np.int32)
+        pr[:P] = inv_r
+        pc = np.full(P_b, K_b - 1, np.int32)
+        pc[:P] = inv_c
+
+        sb0 = _bucket_shape(shape)[0]
+        beta = np.zeros(R_b, np.int32)
+        beta[: len(ub)] = self.bra_beta[ub]
+        col = np.zeros(K_b, np.int32)
+        col[: len(uk)] = uk
+        dummy = np.zeros(1, np.int32)
+        if not self.physical_leg:
+            beta[len(ub):] = sb0  # trash routing on the leading axis
+            spec, tabs = "rc", (beta, col, dummy)
+        elif self.mode == "left":
+            phys = np.zeros(R_b, np.int32)
+            phys[: len(ub)] = self.bra_phys[ub]
+            beta[len(ub):] = sb0
+            spec, tabs = "rrc", (beta, phys, col)
+        else:
+            phys = np.zeros(R_b, np.int32)
+            phys[: len(ub)] = self.bra_phys[ub]
+            col[len(uk):] = sb0
+            spec, tabs = "crr", (col, phys, beta)
+        return {"kind": "direct", "occ_b": occ_b, "occ_k": occ_k,
+                "pr": pr, "pc": pc, "tabs": tabs, "spec": spec}
 
     def _direct_arrays(self, rows, cols, w_b, m, shape, pad_batch=True):
         """(idx_b, idx_k, scat) arrays of the direct identity-padded path."""
@@ -1125,13 +1222,13 @@ class MPSTensorData:
         shape_b = _bucket_shape(shape)
         for plan in plans:
             if plan["kind"] == "direct":
-                vals = _det_direct_vals_impl(
+                t0, t1, t2 = plan["tabs"]
+                parts.append(_det_fill_packed_kernel(
                     replicate(self.sometimes_matrix), self.det_always,
-                    shard_batch(plan["idx_b"]), shard_batch(plan["idx_k"]),
-                )
-                parts.append(scatter_vals_kernel(
-                    vals, tuple(shard_batch(x) for x in plan["scat"]),
-                    shape=shape_b,
+                    replicate(plan["occ_b"]), replicate(plan["occ_k"]),
+                    shard_batch(plan["pr"]), shard_batch(plan["pc"]),
+                    replicate(t0), replicate(t1), replicate(t2),
+                    shape=shape_b, spec=plan["spec"],
                 ))
                 continue
             w_b = plan["w_b"]
@@ -1562,7 +1659,10 @@ def build_site_tensors(pairs):
                 continue
             key = (
                 _bucket_shape(shape),
-                plan["idx_b"].shape,
+                plan["pr"].shape[0],
+                plan["occ_b"].shape,
+                plan["occ_k"].shape,
+                plan["spec"],
                 datas[i].sometimes_matrix.shape,
             )
             fill_groups.setdefault(key, []).append((i, j))
@@ -1572,8 +1672,9 @@ def build_site_tensors(pairs):
     # (8, 128) TPU tile, i.e. ~G * P_b * w * 128 * 8 bytes per temp
     capped: dict = {}
     for key, entries in fill_groups.items():
-        P_b, w = key[1]
-        mt = key[2][0] + w  # identity-extended sometimes width
+        P_b = key[1]
+        w = key[2][1]
+        mt = key[5][0] + w  # identity-extended sometimes width
         per_site = P_b * w * 128 * 8 * 3  # LU temps (tile-padded)
         per_site += P_b * w * mt * 4 * 3  # one-hot selection temps (f32)
         g_max = max(1, int(2.5e9 // max(per_site, 1)))
@@ -1587,37 +1688,46 @@ def build_site_tensors(pairs):
     _fg = profiling.stage("fill/det_groups")
     _fg.__enter__()
     for key, entries in fill_groups.items():
-        shape_b = key[0]
+        shape_b, spec = key[0], key[4]
         if len(entries) == 1:
             i, j = entries[0]
             plan = fill_plans[i][3][j]
             with profiling.stage("fill/det_stack"):
-                ib = jnp.asarray(plan["idx_b"])
-                ik = jnp.asarray(plan["idx_k"])
-                scat = tuple(jnp.asarray(s) for s in plan["scat"])
+                args = tuple(
+                    jnp.asarray(plan[name]) for name in ("occ_b", "occ_k",
+                                                         "pr", "pc")
+                ) + tuple(jnp.asarray(t) for t in plan["tabs"])
             with profiling.stage("fill/det_dispatch"):
-                vals = _det_direct_vals_impl(
-                    datas[i].sometimes_matrix, datas[i].det_always, ib, ik,
+                T = _det_fill_packed_kernel(
+                    datas[i].sometimes_matrix, datas[i].det_always, *args,
+                    shape=shape_b, spec=spec,
                 )
-                T = scatter_vals_kernel(vals, scat, shape=shape_b)
             _accumulate(i, T)
         else:
             with profiling.stage("fill/det_stack"):
                 M = jnp.stack([datas[i].sometimes_matrix for i, _ in entries])
                 det = jnp.stack([datas[i].det_always for i, _ in entries])
-                ib = jnp.asarray(
-                    np.stack([fill_plans[i][3][j]["idx_b"] for i, j in entries])
+
+                def stkp(name):
+                    return jnp.asarray(
+                        np.stack([fill_plans[i][3][j][name]
+                                  for i, j in entries])
+                    )
+
+                ob, ok, pr, pc = (stkp(n) for n in ("occ_b", "occ_k",
+                                                    "pr", "pc"))
+                t0, t1, t2 = (
+                    jnp.asarray(
+                        np.stack([fill_plans[i][3][j]["tabs"][a]
+                                  for i, j in entries])
+                    )
+                    for a in range(3)
                 )
-                ik = jnp.asarray(
-                    np.stack([fill_plans[i][3][j]["idx_k"] for i, j in entries])
-                )
-                sc = np.stack(
-                    [fill_plans[i][3][j]["scat"] for i, j in entries]
-                )  # (G, naxes, P)
-                scat = tuple(jnp.asarray(sc[:, a]) for a in range(sc.shape[1]))
             with profiling.stage("fill/det_dispatch"):
-                vals_s = _det_direct_group(M, det, ib, ik)
-                T_s = _scatter_group(vals_s, scat, shape=shape_b)
+                T_s = _det_fill_packed_group(
+                    M, det, ob, ok, pr, pc, t0, t1, t2,
+                    shape=shape_b, spec=spec,
+                )
             for T, (i, _j) in zip(_unstack(T_s), entries):
                 _accumulate(i, T)
 
@@ -1840,10 +1950,14 @@ def spinful_correlation_matrix(C, ph: bool = True):
 
 def _use_host_frontend(C) -> bool:
     """Whether the sweep eigendecompositions run through the compact host
-    frontend (TPU backends; see :func:`_compact_sweep_frames`)."""
+    frontend (TPU backends; see :func:`_compact_sweep_frames`).  An active
+    mesh keeps the device path (the eigh slabs shard over the "cuts" axis)."""
     from .ops.linalg import _use_host_eigh
+    from .parallel.mesh import active_mesh
 
-    return _use_host_eigh() and not np.iscomplexobj(C)
+    return (
+        _use_host_eigh() and not np.iscomplexobj(C) and active_mesh() is None
+    )
 
 
 def _compact_sweep_frames(C_host, sizes, side, cutoff, chunk):
@@ -2007,6 +2121,20 @@ def C_to_MPS(
     elif spinful is not None:
         raise ValueError(f"`spinful` must be 'simple', 'PH', or `None`, got {spinful!r}")
 
+    # small problems on accelerator backends run on the in-process XLA:CPU
+    # device (dispatch/transfer dominate their compute; config.compute_context)
+    from .config import compute_context
+
+    with compute_context(
+        float(C.shape[0]) ** 2 * float(trunc_par.chi_max or 4096) ** 2
+    ):
+        return _C_to_MPS_body(
+            C, trunc_par, diag_tol, ortho_center, unit_cell_width, eigh_chunk
+        )
+
+
+def _C_to_MPS_body(C, trunc_par, diag_tol, ortho_center, unit_cell_width,
+                   eigh_chunk):
     # TPU backends: classification/enumeration are host work, so C stays a
     # host array and only the compact eigenvector frames ship to the device
     C = np.asarray(C) if _use_host_frontend(C) else jnp.asarray(C)
@@ -2121,6 +2249,21 @@ def C_to_iMPS(
         cut *= 2
     elif spinful is not None:
         raise ValueError(f"`spinful` must be 'simple', 'PH', or `None`, got {spinful!r}")
+
+    from .config import compute_context
+
+    with compute_context(
+        float(C_long.shape[0]) ** 2 * float(trunc_par.chi_max or 4096) ** 2
+    ):
+        return _C_to_iMPS_body(
+            C_short, C_long, trunc_par, sites_per_cell, cut, diag_tol,
+            unitary_tol, schmidt_tol, offset, unit_cell_width,
+        )
+
+
+def _C_to_iMPS_body(C_short, C_long, trunc_par, sites_per_cell, cut, diag_tol,
+                    unitary_tol, schmidt_tol, offset, unit_cell_width):
+    from . import iMPS as imps_mod
 
     if _use_host_frontend(C_short):
         C_short = np.asarray(C_short)

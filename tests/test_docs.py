@@ -14,3 +14,24 @@ def test_automodule_targets_import():
     assert targets, "no autodoc targets found"
     for name in targets:
         importlib.import_module(name)
+
+
+def test_toctree_entries_exist():
+    """Every toctree entry in index.rst points at an existing source file
+    (sphinx is not installed in the test image; this catches the same class
+    of breakage the docs CI job would)."""
+    root = pathlib.Path(__file__).resolve().parents[1] / "docs" / "source"
+    text = (root / "index.rst").read_text()
+    entries = re.findall(r"^   ([\w/]+)$", text, re.M)
+    assert entries, "no toctree entries found"
+    for entry in entries:
+        candidates = [root / f"{entry}{ext}" for ext in (".rst", ".md")]
+        assert any(c.exists() for c in candidates), f"missing doc page {entry}"
+
+
+def test_guide_code_fences_are_balanced():
+    """Narrative guides keep well-formed fenced code blocks."""
+    root = pathlib.Path(__file__).resolve().parents[1] / "docs" / "source"
+    for md in root.glob("*.md"):
+        fences = md.read_text().count("```")
+        assert fences % 2 == 0, f"unbalanced code fences in {md.name}"
