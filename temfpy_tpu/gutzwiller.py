@@ -102,10 +102,12 @@ def _project(
                 f"Gutzwiller projection kills the state: empty bond sector at "
                 f"pair {i} (check q_left/parity/offset and the input charges)"
             )
-        T = jnp.einsum("anb,bmc->anmc", G[2 * i], G[2 * i + 1])
-        P = jnp.stack([T[:, n, m, :] for (n, m) in keep], axis=1)
-        P = P[jnp.asarray(np.nonzero(masks[i])[0])][
-            :, :, jnp.asarray(np.nonzero(masks[i + 1])[0])
+        # host tensors project in numpy (dispatch-bound small ops otherwise)
+        xp = np if isinstance(G[2 * i], np.ndarray) else jnp
+        T = xp.einsum("anb,bmc->anmc", G[2 * i], G[2 * i + 1])
+        P = xp.stack([T[:, n, m, :] for (n, m) in keep], axis=1)
+        P = P[xp.asarray(np.nonzero(masks[i])[0])][
+            :, :, xp.asarray(np.nonzero(masks[i + 1])[0])
         ]
         tensors.append(P)
         q_bonds.append(new_q_bond(mps.q_bond[2 * i], i, masks[i]))

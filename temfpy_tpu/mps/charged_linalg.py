@@ -22,11 +22,17 @@ from ..ops.linalg import robust_qr, robust_svd
 
 
 def _as_backend(M):
-    """jnp array, except complex matrices stay host numpy on backends
-    without device complex support (TPU) — the sector factorizations run
-    through the robust host routes either way."""
+    """jnp array, except matrices stay host numpy when the per-sector
+    factorizations route to host LAPACK anyway (complex without device
+    complex support, or host-eigh mode on accelerator backends): uploading
+    them would turn every sector into device gathers + a ~30 ms round trip
+    over the TPU tunnel."""
+    from ..ops.linalg import _use_host_eigh
+
     if np.iscomplexobj(M) and not complex_on_device():
         return np.asarray(M)
+    if isinstance(M, np.ndarray) and _use_host_eigh():
+        return M
     return jnp.asarray(M)
 
 

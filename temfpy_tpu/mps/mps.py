@@ -40,9 +40,26 @@ logger = logging.getLogger(__name__)
 
 def _as_tensor(B):
     """Device tensor, except complex tensors stay host numpy on backends
-    without device complex support (TPU: complex128 device_put blocks)."""
+    without device complex support (TPU: complex128 device_put blocks), and
+    CPU-committed tensors under an accelerator default backend convert to
+    numpy (free — same memory space).  The latter matters for the
+    small-problem XLA:CPU reroute (config.compute_context): per-op jax
+    dispatch in an accelerator process costs ~0.4 ms, so the many tiny ops
+    of the downstream sweeps/observables run in plain numpy instead."""
     if np.iscomplexobj(B) and not complex_on_device():
         return np.asarray(B)
+    import jax
+
+    if jax.default_backend() not in ("cpu",):
+        if isinstance(B, np.ndarray):
+            return B  # host stays host; big conversions hand over jax arrays
+        if isinstance(B, jax.Array):
+            try:
+                (d,) = B.devices()
+            except ValueError:
+                d = None
+            if d is not None and d.platform == "cpu":
+                return np.asarray(B)
     return jnp.asarray(B)
 
 
@@ -595,13 +612,17 @@ class MPS:
             G = list(self._B)
 
         # ---- left-to-right QR sweep: make everything left-canonical ----
+        # host tensors run the whole sweep in numpy: the many tiny ops of a
+        # canonical sweep are dispatch-bound as jax eager ops (~0.4 ms each
+        # in an accelerator process)
+        xp = np if isinstance(G[0], np.ndarray) else jnp
         qt = self.qtotal.copy()
-        carry = jnp.ones((1, 1), dtype=G[0].dtype)
+        carry = xp.ones((1, 1), dtype=G[0].dtype)
         q_carry = self.q_bond[0].copy()
         A_list, q_bonds = [], [self.q_bond[0].copy()]
         for i in range(L):
             d = self.sites[i].d
-            T = jnp.einsum("ab,bnc->anc", carry, G[i])
+            T = xp.einsum("ab,bnc->anc", carry, G[i])
             chiL, _, chiR = T.shape
             M = T.reshape(chiL * d, chiR)
             q_row = (q_carry[:, None] + self.sites[i].charges[None, :]).reshape(-1)
@@ -615,13 +636,13 @@ class MPS:
             qt[i] = 0  # charge absorbed into bond labels
         # trailing R is 1x1 (norm * phase)
         tail = carry
-        norm = float(jnp.abs(tail[0, 0])) if tail.size == 1 else float(
-            jnp.linalg.norm(tail)
+        norm = float(xp.abs(tail[0, 0])) if tail.size == 1 else float(
+            xp.linalg.norm(tail)
         )
         phase = tail / norm
 
         # absorb the phase and norm into the last tensor for the next sweep
-        A_list[-1] = jnp.einsum("anb,bc->anc", A_list[-1], phase)
+        A_list[-1] = xp.einsum("anb,bc->anc", A_list[-1], phase)
 
         # ---- right-to-left SVD sweep: truncate, collect Schmidt values ----
         B_list = [None] * L
@@ -635,7 +656,7 @@ class MPS:
         for i in reversed(range(L)):
             T = A_list[i]
             if carry is not None:
-                T = jnp.einsum("anb,bc->anc", T, carry)
+                T = xp.einsum("anb,bc->anc", T, carry)
             chiL, d, chiR = T.shape
             M = T.reshape(chiL, d * chiR)
             q_col = (
@@ -661,9 +682,9 @@ class MPS:
             B_list[i] = Vh.reshape(Vh.shape[0], d, chiR)
             S_list[i] = S
             q_bonds[i] = chinfo.make_valid(np.asarray(q_mid))
-            carry = U * jnp.asarray(S)[None, :]
+            carry = U * xp.asarray(S)[None, :]
         # leftmost carry is 1x1 phase; absorb into first tensor
-        B_list[0] = jnp.einsum("ab,bnc->anc", carry, B_list[0])
+        B_list[0] = xp.einsum("ab,bnc->anc", carry, B_list[0])
         S_list[0] = np.ones(1)
 
         self._B = B_list
@@ -700,9 +721,28 @@ class MPS:
     def _canonical_form_infinite(self, cutoff, tol, max_iter):
         assert not self.finite
         L = self.L
-        T = [jnp.asarray(Ti) for Ti in self._B]
+        # host tensors run the whole pass in numpy (the transfer-matrix
+        # power iteration and gauge sweeps are many small dispatch-bound ops)
+        host = isinstance(self._B[0], np.ndarray)
+        xp = np if host else jnp
+        T = [xp.asarray(Ti) for Ti in self._B]
         chi = T[0].shape[0]
         dtype = T[0].dtype
+
+        def _eigh_local(A):
+            if host:
+                return np.linalg.eigh(np.asarray(A))
+            return robust_eigh(A)
+
+        def _svd_local(A):
+            if host:
+                return np.linalg.svd(np.asarray(A), full_matrices=False)
+            return robust_svd(A, full_matrices=False)
+
+        def _qr_local(A):
+            if host:
+                return np.linalg.qr(np.asarray(A), mode="reduced")
+            return robust_qr(A)
 
         # charge propagation: the cell transfer map preserves the bond-charge
         # block structure, so every gauge factorization can run sector by
@@ -733,12 +773,12 @@ class MPS:
 
         def tm_right(X):
             for Ti in reversed(T):
-                X = jnp.einsum("anb,cnd,bd->ac", Ti, Ti.conj(), X)
+                X = xp.einsum("anb,cnd,bd->ac", Ti, Ti.conj(), X)
             return X
 
         def tm_left(X):
             for Ti in T:
-                X = jnp.einsum("ab,anc,bnd->cd", X, Ti, Ti.conj())
+                X = xp.einsum("ab,anc,bnd->cd", X, Ti, Ti.conj())
             return X
 
         def dominant(fn):
@@ -751,21 +791,21 @@ class MPS:
             into superselection sectors), fall back to an Arnoldi solve of
             the top eigenspace and assemble the maximal PSD fixed point as
             the positive part of the summed real-eigenvalue candidates."""
-            X = jnp.eye(chi, dtype=dtype)
+            X = xp.eye(chi, dtype=dtype)
             lam = 1.0
             for _ in range(min(max_iter, 500)):
                 Y = fn(X)
                 Y = (Y + Y.conj().T) / 2
-                lam = float(jnp.linalg.norm(Y))
+                lam = float(xp.linalg.norm(Y))
                 Y = Y / lam
-                if float(jnp.linalg.norm(Y - X)) < tol:
+                if float(xp.linalg.norm(Y - X)) < tol:
                     return Y, lam
                 X = Y
 
             import scipy.sparse.linalg as spla
 
             def mv(x):
-                Xm = jnp.asarray(x.reshape(chi, chi))
+                Xm = xp.asarray(x.reshape(chi, chi))
                 return np.asarray(fn(Xm)).ravel()
 
             n2 = chi * chi
@@ -793,9 +833,9 @@ class MPS:
             e_r = np.clip(e_r, 0.0, None)
             rho = (U_r * e_r) @ U_r.conj().T
             rho /= np.linalg.norm(rho)
-            if not jnp.iscomplexobj(jnp.zeros((), dtype)):
+            if not np.issubdtype(np.dtype(dtype), np.complexfloating):
                 rho = rho.real
-            return jnp.asarray(rho.astype(dtype)), lam
+            return xp.asarray(rho.astype(dtype)), lam
 
         # The gauge pass may need iterating: when the MPS is reducible (e.g.
         # Gutzwiller-projected states with superselection sectors), the SVD
@@ -811,11 +851,11 @@ class MPS:
                 # exact for a charge-conserving MPS: fixed points are block
                 # diagonal; masking removes cross-sector power-iteration
                 # residue (which does not decay for superselection sectors)
-                mask = jnp.asarray(
+                mask = xp.asarray(
                     chinfo.equal(q0_cur[:, None], q0_cur[None, :])
                 )
-                rho_R = jnp.where(mask, rho_R, 0.0)
-                rho_L = jnp.where(mask, rho_L, 0.0)
+                rho_R = xp.where(mask, rho_R, 0.0)
+                rho_L = xp.where(mask, rho_L, 0.0)
 
             # normalise so the cell transfer matrix has dominant eigenvalue 1
             scale = lam ** (-0.5 / L)
@@ -824,24 +864,24 @@ class MPS:
             # factor the fixed points with spectral clipping
             if charged:
                 eR_h, UR_h, qR_cols = charged_eigh(rho_R, q0_cur, chinfo)
-                UR = jnp.asarray(UR_h)
-                eR = jnp.asarray(eR_h)
+                UR = xp.asarray(UR_h)
+                eR = xp.asarray(eR_h)
             else:
-                eR, UR = robust_eigh(rho_R)
+                eR, UR = _eigh_local(rho_R)
                 eR_h = np.asarray(eR)
             keepR = eR_h > max(cutoff * eR_h.max(), 0.0)
-            X = UR[:, keepR] * jnp.sqrt(eR[keepR])[None, :]  # (chi, kR)
-            Xp = (1.0 / jnp.sqrt(eR[keepR]))[:, None] * UR[:, keepR].conj().T
+            X = UR[:, keepR] * xp.sqrt(eR[keepR])[None, :]  # (chi, kR)
+            Xp = (1.0 / xp.sqrt(eR[keepR]))[:, None] * UR[:, keepR].conj().T
 
             if charged:
                 eL_h, UL_h, qL_cols = charged_eigh(rho_L, q0_cur, chinfo)
-                UL = jnp.asarray(UL_h)
-                eL = jnp.asarray(eL_h)
+                UL = xp.asarray(UL_h)
+                eL = xp.asarray(eL_h)
             else:
-                eL, UL = robust_eigh(rho_L)
+                eL, UL = _eigh_local(rho_L)
                 eL_h = np.asarray(eL)
             keepL = eL_h > max(cutoff * eL_h.max(), 0.0)
-            Y = (UL[:, keepL] * jnp.sqrt(eL[keepL])[None, :]).conj().T  # (kL, chi)
+            Y = (UL[:, keepL] * xp.sqrt(eL[keepL])[None, :]).conj().T  # (kL, chi)
 
             if charged:
                 qX = qR_cols[keepR]
@@ -853,7 +893,7 @@ class MPS:
                 r = len(S_host)
                 V = Vh_.conj().T  # (kR, r), columns labelled q_mid
             else:
-                U, S, Vh = robust_svd(Y @ X, full_matrices=False)
+                U, S, Vh = _svd_local(Y @ X)
                 S_host = np.asarray(S)
                 keep = S_host > cutoff * S_host.max()
                 r = int(keep.sum())
@@ -862,15 +902,15 @@ class MPS:
                 V = Vh[:r, :].conj().T  # (kR, r)
 
             # boundary gauge: bond0' = V^H X^+ . bond0 ;  bondL' = bondL . X V
-            T[0] = jnp.einsum("ra,anb->rnb", V.conj().T @ Xp, T[0])
-            T[-1] = jnp.einsum("anb,br->anr", T[-1], X @ V)
+            T[0] = xp.einsum("ra,anb->rnb", V.conj().T @ Xp, T[0])
+            T[-1] = xp.einsum("anb,br->anr", T[-1], X @ V)
             if charged:
                 q0_cur = chinfo.make_valid(np.asarray(q_mid))
 
             # converged when the whole cell is right-canonical
-            E = jnp.eye(T[-1].shape[2], dtype=dtype)
+            E = xp.eye(T[-1].shape[2], dtype=dtype)
             E = tm_right(E)
-            resid = float(jnp.abs(E - jnp.eye(E.shape[0], dtype=dtype)).max())
+            resid = float(xp.abs(E - xp.eye(E.shape[0], dtype=dtype)).max())
             if resid < 1e-9:
                 break
         else:
@@ -900,38 +940,38 @@ class MPS:
                 )
                 q_cur[i] = chinfo.make_valid(np.asarray(q_mid_i))
             else:
-                Q_t, R_t = robust_qr(M.conj().T)  # M = R^H Q^H
+                Q_t, R_t = _qr_local(M.conj().T)  # M = R^H Q^H
             T[i] = Q_t.conj().T.reshape(-1, d, b)
-            T[i - 1] = jnp.einsum("anb,bc->anc", T[i - 1], R_t.conj().T)
+            T[i - 1] = xp.einsum("anb,bc->anc", T[i - 1], R_t.conj().T)
 
         # interior sweep: diagonalise the left environment at every bond
         S_list = [None] * (L + 1)
         S_list[0] = S_list[L] = S_host
-        rho = jnp.asarray(np.diag(S_host**2)).astype(dtype)
+        rho = xp.asarray(np.diag(S_host**2)).astype(dtype)
         for i in range(L - 1):
-            rho = jnp.einsum("ab,anc,bnd->cd", rho, T[i], T[i].conj())
+            rho = xp.einsum("ab,anc,bnd->cd", rho, T[i], T[i].conj())
             rho = (rho + rho.conj().T) / 2
             if charged:
                 e_h2, W_h, qW = charged_eigh(rho, q_cur[i + 1], chinfo)
                 e_h = np.clip(e_h2, 0.0, None)
                 # (charge asc, value desc) ordering, matching charged_svd
                 order_h = np.lexsort((-e_h, qW))
-                W = jnp.asarray(W_h)[:, jnp.asarray(order_h)]
+                W = xp.asarray(W_h)[:, xp.asarray(order_h)]
                 e_h = e_h[order_h]
                 q_cur[i + 1] = qW[order_h]
             else:
-                e, W = robust_eigh(rho)
+                e, W = _eigh_local(rho)
                 e_h = np.clip(np.asarray(e), 0.0, None)
                 # descending order for conventional Schmidt ordering
-                order = jnp.asarray(np.argsort(e_h)[::-1].copy())
+                order = xp.asarray(np.argsort(e_h)[::-1].copy())
                 W = W[:, order]
                 e_h = e_h[np.asarray(order)]
-            T[i] = jnp.einsum("anb,bc->anc", T[i], W)
-            T[i + 1] = jnp.einsum("ba,bnc->anc", W.conj(), T[i + 1])
+            T[i] = xp.einsum("anb,bc->anc", T[i], W)
+            T[i + 1] = xp.einsum("ba,bnc->anc", W.conj(), T[i + 1])
             s = np.sqrt(e_h)
             nrm = np.linalg.norm(s)
             S_list[i + 1] = s / (nrm if nrm > 0 else 1.0)
-            rho = jnp.asarray(np.diag(e_h)).astype(dtype)
+            rho = xp.asarray(np.diag(e_h)).astype(dtype)
 
         self._B = T
         self._S = S_list

@@ -129,21 +129,41 @@ def _cpu_layout() -> bool:
 # --------------------------------------------------------------------------
 
 
+def _back_like(A):
+    """Result converter preserving the INPUT's residency: host (or
+    CPU-committed) inputs give host outputs — uploading a host
+    factorization's result costs a ~30 ms dispatch plus a later ~1 MB/s
+    download when the caller reads it back over the TPU tunnel — while
+    accelerator inputs give device outputs."""
+    if isinstance(A, np.ndarray):
+        return np.asarray
+    if isinstance(A, jax.Array) and jax.default_backend() not in ("cpu",):
+        try:
+            (d,) = A.devices()
+        except ValueError:
+            d = None
+        if d is not None and d.platform == "cpu":
+            return np.asarray
+    return _maybe_device
+
+
 def robust_eigh(A):
     if _use_host_eigh() or (np.iscomplexobj(A) and not complex_on_device()):
+        back = _back_like(A)
         e, v = np.linalg.eigh(np.asarray(A))
-        return _maybe_device(e), _maybe_device(v)
+        return back(e), back(v)
     return jnp.linalg.eigh(jnp.asarray(A))
 
 
 def robust_svd(A, compute_uv: bool = True, full_matrices: bool = False):
     if _use_host_eigh() or (np.iscomplexobj(A) and not complex_on_device()):
+        back = _back_like(A)
         out = np.linalg.svd(
             np.asarray(A), compute_uv=compute_uv, full_matrices=full_matrices
         )
         if compute_uv:
-            return tuple(_maybe_device(x) for x in out)
-        return _maybe_device(out)
+            return tuple(back(x) for x in out)
+        return back(out)
     return jnp.linalg.svd(
         jnp.asarray(A), compute_uv=compute_uv, full_matrices=full_matrices
     )
@@ -151,8 +171,9 @@ def robust_svd(A, compute_uv: bool = True, full_matrices: bool = False):
 
 def robust_qr(A):
     if _use_host_eigh() or (np.iscomplexobj(A) and not complex_on_device()):
+        back = _back_like(A)
         q, r = np.linalg.qr(np.asarray(A), mode="reduced")
-        return _maybe_device(q), _maybe_device(r)
+        return back(q), back(r)
     return jnp.linalg.qr(jnp.asarray(A), mode="reduced")
 
 
