@@ -42,9 +42,9 @@ CPU_BASELINE_EXTRA = {
     "pfaffian_kitaev_L64_chi128_seconds": 1.75,
     "slater_imps_L128_cell2_chi64_seconds": 0.23,
     "gutzwiller_piflux_W4_L32_chi128_seconds": 5.65,
-    # near-critical p-wave chain (chi genuinely binds); measured 2026-08-17,
-    # quiet host, warm second run of `python bench.py --cpu --configs 5`
-    "pfaffian_pwave_L128_chi256_seconds": None,  # filled after CPU measure
+    # near-critical p+ip cylinder (chi_max_reached = 256, binding); measured
+    # 2026-08-17, quiet host, `python bench.py --cpu --configs 5`
+    "pfaffian_pip_W8_L128_chi256_seconds": 278.5,
 }
 
 
@@ -89,27 +89,46 @@ def bench_pfaffian_kitaev(L=64, chi=128, repeat=2):
     return warm, cold, {"chi_max_reached": state["mps"].chi_max}
 
 
-def bench_pfaffian_pwave(L=128, chi=256, repeat=2):
-    """Pfaffian stress config: p-wave (Kitaev) chain NEAR criticality
-    (mu close to 2t), where the BdG entanglement genuinely binds chi —
-    exercises the split-complex Pfaffian fill at production bond dimension
-    (the gapped Kitaev config only reaches chi ~ 14)."""
+def bench_pfaffian_pip(W=8, Lx=16, chi=256, repeat=2):
+    """Pfaffian stress config (BASELINE config-5 model): chiral p+ip
+    superconductor on a W-leg cylinder, tuned to the trivial side near the
+    gap closing (bulk gap ~ 0.02 < 1/Lx: effectively critical), where the
+    BdG entanglement genuinely binds chi — exercises the Pfaffian fill at
+    production bond dimension (the gapped Kitaev config reaches chi ~ 14).
+    A 1D chain cannot serve here: the area law caps its chi at ~ 10-30
+    regardless of the gap."""
     from temfpy_tpu import pfaffian
 
+    t, delta, mu = 1.0, 0.5, -0.3
+    L = W * Lx
     H = np.zeros((2 * L, 2 * L), complex)
-    t, delta, mu = 1.0, 0.35, 2.05  # small gap: long correlation length
-    for i in range(L):
-        H[2 * i, 2 * i] = -mu / 2
-        H[2 * i + 1, 2 * i + 1] = mu / 2
-    for i in range(L - 1):
-        H[2 * i, 2 * (i + 1)] += -t / 2
-        H[2 * (i + 1), 2 * i] += -t / 2
-        H[2 * i + 1, 2 * (i + 1) + 1] += t / 2
-        H[2 * (i + 1) + 1, 2 * i + 1] += t / 2
-        H[2 * i, 2 * (i + 1) + 1] += delta / 2
-        H[2 * (i + 1) + 1, 2 * i] += delta / 2
-        H[2 * i + 1, 2 * (i + 1)] += -delta / 2
-        H[2 * (i + 1), 2 * i + 1] += -delta / 2
+
+    def idx(x, y):
+        return x * W + (y % W)
+
+    def add_hop(i, j, amp):
+        H[2 * i, 2 * j] += -amp / 2
+        H[2 * j, 2 * i] += -np.conj(amp) / 2
+        H[2 * i + 1, 2 * j + 1] += np.conj(amp) / 2
+        H[2 * j + 1, 2 * i + 1] += amp / 2
+
+    def add_pair(i, j, amp):  # amp c_i^dag c_j^dag + h.c.
+        H[2 * i, 2 * j + 1] += amp / 2
+        H[2 * j + 1, 2 * i] += np.conj(amp) / 2
+        H[2 * j, 2 * i + 1] += -amp / 2
+        H[2 * i + 1, 2 * j] += -np.conj(amp) / 2
+
+    for x in range(Lx):
+        for y in range(W):
+            i = idx(x, y)
+            H[2 * i, 2 * i] = -mu / 2
+            H[2 * i + 1, 2 * i + 1] = mu / 2
+            if x + 1 < Lx:
+                add_hop(i, idx(x + 1, y), t)
+                add_pair(i, idx(x + 1, y), delta)  # p_x
+            if W > 2:
+                add_hop(i, idx(x, y + 1), t)
+                add_pair(i, idx(x, y + 1), 1j * delta)  # i p_y
     H = H + H.conj().T - np.diag(np.diag(H).real)
     C = pfaffian.correlation_matrix(H, basis="C->M")
 
@@ -191,7 +210,7 @@ def main():
         "--configs", default="1,2,3,4,5",
         help="comma list of BASELINE configs to run (1=slater headline, "
         "2=Kitaev Pfaffian, 3=slater iMPS, 4=Gutzwiller pi-flux, "
-        "5=near-critical p-wave Pfaffian stress)",
+        "5=near-critical p+ip cylinder Pfaffian stress)",
     )
     p.add_argument(
         "--profile", action="store_true",
@@ -307,7 +326,7 @@ def main():
             "2": ("pfaffian_kitaev_L64_chi128_seconds", bench_pfaffian_kitaev),
             "3": ("slater_imps_L128_cell2_chi64_seconds", bench_slater_imps),
             "4": ("gutzwiller_piflux_W4_L32_chi128_seconds", bench_gutzwiller_piflux),
-            "5": ("pfaffian_pwave_L128_chi256_seconds", bench_pfaffian_pwave),
+            "5": ("pfaffian_pip_W8_L128_chi256_seconds", bench_pfaffian_pip),
         }
         for key, (name, fn) in aux.items():
             if key not in configs:

@@ -47,8 +47,6 @@ from .ops.linalg import (
     _det_check_group,
     _det_check_impl,
     _det_direct_vals_impl,
-    _det_swaps_group,
-    _det_swaps_kernel,
 )
 from .schmidt_utils import lowest_sums, to_stopping_condition
 from . import profiling
@@ -669,12 +667,15 @@ constant trades one extra device batch per bucket for tighter coverage."""
 def _use_det_updates() -> bool:
     """Whether the rank-update determinant path is active.
 
-    Default: on for CPU backends (measured win), off on accelerators —
-    the current integration dispatches per (site, class, bucket) and
-    synchronises per class for the cross-checks, which is dispatch/latency
-    bound over the TPU tunnel (276 s vs 44 s direct at L=128/chi=512,
-    2026-08-17).  Grouped swap dispatch + batched check sync are the
-    round-3 path to flipping this on for TPU.  Override with
+    Default: on for CPU layouts (measured ~10x det-flop win), off on
+    accelerators.  Round-3 status: the packed integration (per-unique-bond
+    swap tables + pair-id vectors, fused scatter) eliminates the round-2
+    index-upload cost, but the (class-shape x swap-bucket x batch-grid)
+    executable families cold-compile REMOTELY on the tunnel-attached TPU
+    and did not finish within 50 min at L=128 (2026-08-17) — a cold-start
+    blocker, not a steady-state one.  Flipping the default for TPU needs
+    either a collapsed shape family (single s bucket, fixed table widths)
+    or local/persistent-cache-guaranteed compilation.  Override with
     TEMFPY_TPU_DET_UPDATES=0/1."""
     import os
 
@@ -834,16 +835,51 @@ def _det_fill_packed_group(M, det, ob, ok, pr, pc, t0, t1, t2, *, shape, spec):
     return jax.vmap(f)(M, det, ob, ok, pr, pc, t0, t1, t2)
 
 
-@partial(jax.jit, static_argnames=("shape",))
-def _scatter_group(vals, scat, *, shape):
-    """vmapped scatter over a group of sites sharing one bucket."""
+def _swap_fill_packed_impl(M_aug, det_always, D0, G, Pt, T2, T3,
+                           Rin, Rout, Rpos, sgr, Cin, Cout, Cpos, sgc,
+                           pr, pc, t0, t1, t2, chk_sel,
+                           *, s_b, shape, spec):
+    """Packed rank-update fill of one (class, swap-bucket): derive each
+    pair's swap plan on device from per-unique-bond tables (``Rin``/... are
+    (R_b, W) int tables; ``pr``/``pc`` are (P_b,) pair ids), evaluate the
+    bordered determinants det(A) det(S) through the precomputed base tables,
+    and scatter into the bucketed dense tensor.
 
-    def f(v, *s):
-        from .ops.linalg import _scatter_vals_impl
+    Upload traffic is O(P + chi*W) — the round-2 integration shipped six
+    (P_b, s) index matrices per bucket and lost 3.7x to transfer/dispatch
+    (BASELINE.md round-2 negative results); this packs them the same way as
+    the direct fill.  Returns (partial tensor, checked values)."""
+    from .ops.linalg import _det_swaps_body
 
-        return _scatter_vals_impl(v, tuple(s), shape=shape)
+    rin = Rin[pr][:, :s_b]
+    rout = Rout[pr][:, :s_b]
+    rpos = Rpos[pr][:, :s_b]
+    cin = Cin[pc][:, :s_b]
+    cout = Cout[pc][:, :s_b]
+    cpos = Cpos[pc][:, :s_b]
+    sign = sgr[pr] * sgc[pc]
+    vals = _det_swaps_body(
+        M_aug, G, Pt, T2, T3, D0, sign, rin, rout, rpos, cin, cout, cpos
+    ) * det_always
+    sel = {"r": pr, "c": pc}
+    tabs = (t0, t1, t2)
+    coords = tuple(tabs[i][sel[s]] for i, s in enumerate(spec))
+    T = jnp.zeros((shape[0] + 1,) + tuple(shape[1:]), vals.dtype)
+    T = T.at[coords].set(vals)
+    return T[: shape[0]], vals[chk_sel]
 
-    return jax.vmap(f)(vals, *scat)
+
+_swap_fill_packed_kernel = partial(
+    jax.jit, static_argnames=("s_b", "shape", "spec")
+)(_swap_fill_packed_impl)
+
+
+@partial(jax.jit, static_argnames=("s_b", "shape", "spec"))
+def _swap_fill_packed_group(*args, s_b, shape, spec):
+    """vmapped :func:`_swap_fill_packed_impl` over a chunk of (class,
+    bucket) units sharing one shape family."""
+    f = partial(_swap_fill_packed_impl, s_b=s_b, shape=shape, spec=spec)
+    return jax.vmap(f)(*args)
 
 
 @dataclass(frozen=True)
@@ -1119,6 +1155,57 @@ class MPSTensorData:
             far_rows.append(rows[fr])
             far_cols.append(cols[fc])
 
+        def pow2(n, lo):
+            b = lo
+            while b < n:
+                b *= 2
+            return b
+
+        # per-side tables with a self-swap sentinel row appended (used by
+        # batch padding: rin = rout at kept base positions leaves det(S)=1)
+        def side_tables(rin_s, rout_s, rpos_s, sign_s):
+            n = len(rin_s)
+            R_b = pow2(n + 1, 32)
+            sent_in = base[:W].astype(np.int32)
+            sent_pos = np.arange(W, dtype=np.int32)
+            Rin = np.broadcast_to(sent_in, (R_b, W)).copy()
+            Rout = Rin.copy()
+            Rpos = np.broadcast_to(sent_pos, (R_b, W)).copy()
+            sg = np.ones(R_b)
+            Rin[:n] = rin_s
+            Rout[:n] = rout_s
+            Rpos[:n] = rpos_s
+            sg[:n] = sign_s
+            return Rin, Rout, Rpos, sg, R_b
+
+        Rin_t, Rout_t, Rpos_t, sgr_t, R_b = side_tables(
+            rin_r, rout_r, rpos_r, sign_r
+        )
+        Cin_t, Cout_t, Cpos_t, sgc_t, K_b = side_tables(
+            rin_c, rout_c, rpos_c, sign_c
+        )
+
+        # scatter value tables over class-local ids (global bond values)
+        sb0 = _bucket_shape(shape)[0]
+        beta = np.zeros(R_b, np.int32)
+        beta[: len(rows)] = self.bra_beta[rows]
+        colv = np.zeros(K_b, np.int32)
+        colv[: len(cols)] = cols
+        dummy = np.zeros(1, np.int32)
+        if not self.physical_leg:
+            beta[len(rows):] = sb0
+            spec, tabs = "rc", (beta, colv, dummy)
+        elif self.mode == "left":
+            phys = np.zeros(R_b, np.int32)
+            phys[: len(rows)] = self.bra_phys[rows]
+            beta[len(rows):] = sb0
+            spec, tabs = "rrc", (beta, phys, colv)
+        else:
+            phys = np.zeros(R_b, np.int32)
+            phys[: len(rows)] = self.bra_phys[rows]
+            colv[len(cols):] = sb0
+            spec, tabs = "crr", (colv, phys, beta)
+
         sub_plans = []
         for s_b in np.unique(sq[sq < 99]):
             s_b = int(s_b)
@@ -1129,34 +1216,22 @@ class MPSTensorData:
             P_b = 1024
             while P_b < P:
                 P_b *= 4
-
-            def padP(arr, fill_row):
-                return np.concatenate(
-                    [arr, np.broadcast_to(fill_row, (P_b - P,) + fill_row.shape)]
-                )
-
-            pad_r = np.stack([base[:s_b], base[:s_b], np.arange(s_b)])
+            pr = np.full(P_b, R_b - 1, np.int32)
+            pr[:P] = ri
+            pc = np.full(P_b, K_b - 1, np.int32)
+            pc[:P] = ci
             plan = {
                 "kind": "swap",
-                "rin": padP(rin_r[ri, :s_b], pad_r[0]).astype(np.int32),
-                "rout": padP(rout_r[ri, :s_b], pad_r[1]).astype(np.int32),
-                "rpos": padP(rpos_r[ri, :s_b], pad_r[2]).astype(np.int32),
-                "cin": padP(rin_c[ci, :s_b], pad_r[0]).astype(np.int32),
-                "cout": padP(rout_c[ci, :s_b], pad_r[1]).astype(np.int32),
-                "cpos": padP(rpos_c[ci, :s_b], pad_r[2]).astype(np.int32),
-                "sign": np.concatenate(
-                    [sign_r[ri] * sign_c[ci], np.ones(P_b - P)]
-                ),
+                "s_b": s_b,
+                "pr": pr,
+                "pc": pc,
+                "Rin": Rin_t, "Rout": Rout_t, "Rpos": Rpos_t, "sgr": sgr_t,
+                "Cin": Cin_t, "Cout": Cout_t, "Cpos": Cpos_t, "sgc": sgc_t,
+                "tabs": tabs,
+                "spec": spec,
             }
             g_rows = rows[ri]
             g_cols = cols[ci]
-            sb0 = _bucket_shape(shape)[0]
-            scat = []
-            for ax, arr in enumerate(self._scatter_ix(g_rows, g_cols)):
-                full = np.full(P_b, sb0 if ax == 0 else 0, dtype=np.int32)
-                full[:P] = arr
-                scat.append(full)
-            plan["scat"] = np.stack(scat)
             plan["rows"] = g_rows
             plan["cols"] = g_cols
             # cross-check subset (strided through the real pairs; may
@@ -1238,18 +1313,16 @@ class MPSTensorData:
             )
             centry = {"parts": [], "checks": [], "plan": plan}
             for sub in plan["sub"]:
-                vals, chk_swap = _det_swaps_kernel(
+                Tp, chk_swap = _swap_fill_packed_kernel(
                     M_aug, self.det_always, D0, G, Pt, T2, T3,
-                    shard_batch(sub["sign"]),
-                    shard_batch(sub["rin"]), shard_batch(sub["rout"]),
-                    shard_batch(sub["rpos"]),
-                    shard_batch(sub["cin"]), shard_batch(sub["cout"]),
-                    shard_batch(sub["cpos"]),
+                    replicate(sub["Rin"]), replicate(sub["Rout"]),
+                    replicate(sub["Rpos"]), replicate(sub["sgr"]),
+                    replicate(sub["Cin"]), replicate(sub["Cout"]),
+                    replicate(sub["Cpos"]), replicate(sub["sgc"]),
+                    shard_batch(sub["pr"]), shard_batch(sub["pc"]),
+                    *(replicate(t) for t in sub["tabs"]),
                     jnp.asarray(sub["check_sel"], dtype=jnp.int32),
-                )
-                Tp = scatter_vals_kernel(
-                    vals, tuple(shard_batch(x) for x in sub["scat"]),
-                    shape=shape_b,
+                    s_b=sub["s_b"], shape=shape_b, spec=sub["spec"],
                 )
                 chk_dir = _det_check_impl(
                     M_aug, self.det_always,
@@ -1773,16 +1846,22 @@ def build_site_tensors(pairs):
             subs.append({"e": e, "sub": sub})
     sgroups: dict = {}
     for se in subs:
+        i = se["e"]["i"]
         key = (
             se["e"]["M_aug"].shape,
             len(se["e"]["plan"]["r0"]),
-            se["sub"]["rin"].shape,
-            se["sub"]["cin"].shape,
+            se["sub"]["Rin"].shape,
+            se["sub"]["Cin"].shape,
+            se["sub"]["pr"].shape,
+            se["sub"]["s_b"],
+            se["sub"]["spec"],
+            _bucket_shape(fill_plans[i][0]),
         )
         sgroups.setdefault(key, []).append(se)
     _sw = profiling.stage("fill/swap_dets")
     _sw.__enter__()
     for key, ses in sgroups.items():
+        s_b, spec, shape_b = key[5], key[6], key[7]
         for j0 in range(0, len(ses), GB):
             chunk = ses[j0 : j0 + GB]
             pad = chunk + [chunk[0]] * (GB - len(chunk))
@@ -1796,7 +1875,13 @@ def build_site_tensors(pairs):
                         np.stack([se["sub"][name] for se in pad])
                     )
 
-            vals_s, chk_s = _det_swaps_group(
+            def stkt(a):
+                with profiling.stage("fill/swap_stack"):
+                    return jnp.asarray(
+                        np.stack([se["sub"]["tabs"][a] for se in pad])
+                    )
+
+            T_s, chk_s = _swap_fill_packed_group(
                 stk(lambda se: se["e"]["M_aug"]),
                 stk(lambda se: datas[se["e"]["i"]].det_always),
                 stk(lambda se: se["e"]["tables"][0]),
@@ -1804,10 +1889,12 @@ def build_site_tensors(pairs):
                 stk(lambda se: se["e"]["tables"][2]),
                 stk(lambda se: se["e"]["tables"][3]),
                 stk(lambda se: se["e"]["tables"][4]),
-                stkn("sign"),
-                stkn("rin"), stkn("rout"), stkn("rpos"),
-                stkn("cin"), stkn("cout"), stkn("cpos"),
+                stkn("Rin"), stkn("Rout"), stkn("Rpos"), stkn("sgr"),
+                stkn("Cin"), stkn("Cout"), stkn("Cpos"), stkn("sgc"),
+                stkn("pr"), stkn("pc"),
+                stkt(0), stkt(1), stkt(2),
                 stkn("check_sel"),
+                s_b=s_b, shape=shape_b, spec=spec,
             )
             chkd_s = _det_check_group(
                 stk(lambda se: se["e"]["M_aug"]),
@@ -1815,33 +1902,14 @@ def build_site_tensors(pairs):
                 stkn("check_idx_b"),
                 stkn("check_idx_k"),
             )
-            vals_u = _unstack(vals_s)
+            T_u = _unstack(T_s)
             chk_u = _unstack(chk_s)
             chkd_u = _unstack(chkd_s)
             for t, se in enumerate(chunk):
-                se["vals"] = vals_u[t]
+                se["part"] = T_u[t]
                 se["chk"] = (chk_u[t], chkd_u[t])
 
     _sw.__exit__(None, None, None)
-
-    # stage C: scatters, chunked by (batch, bucketed tensor shape)
-    cgroups: dict = {}
-    for se in subs:
-        i = se["e"]["i"]
-        shape_b = _bucket_shape(fill_plans[i][0])
-        cgroups.setdefault((se["vals"].shape, shape_b), []).append(se)
-    with profiling.stage("fill/swap_scatter"):
-        for (vshape, shape_b), ses in cgroups.items():
-            for j0 in range(0, len(ses), GB):
-                chunk = ses[j0 : j0 + GB]
-                pad = chunk + [chunk[0]] * (GB - len(chunk))
-                vals_s = jnp.stack([se["vals"] for se in pad])
-                sc = np.stack([se["sub"]["scat"] for se in pad])
-                scat = tuple(jnp.asarray(sc[:, a]) for a in range(sc.shape[1]))
-                T_s = _scatter_group(vals_s, scat, shape=shape_b)
-                T_u = _unstack(T_s)
-                for t, se in enumerate(chunk):
-                    se["part"] = T_u[t]
 
     # collate per-site class entries for the resolve
     for e in entries:
