@@ -43,20 +43,23 @@ def overlap_schmidt(bra: MPS, ket: MPS, mode: str, n_sites: int | None = None):
     form; returns D with D[a, b] = <R'_a | R_b> (bra rows).
     """
     mode = mode.lower()
+    # host tensors contract in numpy (per-op jax dispatch in an accelerator
+    # process costs ~0.4 ms and uploads host operands to the default device)
+    xp = np if isinstance(bra._B[0], np.ndarray) else jnp
     if mode == "left":
         n = n_sites if n_sites is not None else min(bra.L, ket.L)
-        E = jnp.ones((1, 1), dtype=bra._B[0].dtype)
+        E = xp.ones((1, 1), dtype=bra._B[0].dtype)
         for i in range(n):
             Tb = bra.get_B(i, "A")
             Tk = ket.get_B(i, "A")
-            E = jnp.einsum("ab,anc,bnd->cd", E, Tb.conj(), Tk)
+            E = xp.einsum("ab,anc,bnd->cd", E, Tb.conj(), Tk)
     elif mode == "right":
         n = n_sites if n_sites is not None else min(bra.L, ket.L)
-        E = jnp.ones((1, 1), dtype=bra._B[0].dtype)
+        E = xp.ones((1, 1), dtype=bra._B[0].dtype)
         for step in range(1, n + 1):
             Tb = bra.get_B(bra.L - step, "B")
             Tk = ket.get_B(ket.L - step, "B")
-            E = jnp.einsum("anc,bnd,cd->ab", Tb.conj(), Tk, E)
+            E = xp.einsum("anc,bnd,cd->ab", Tb.conj(), Tk, E)
     else:
         raise ValueError("`mode` must be either 'left' or 'right', got " + repr(mode))
     return E
@@ -100,13 +103,14 @@ def basis_rotation(
     form = form.upper()
     assert form in ("A", "B"), f"`form` must be 'A' or 'B', got {form!r}"
 
-    C = jnp.asarray(overlap)
+    xp = np if isinstance(overlap, np.ndarray) else jnp
+    C = xp.asarray(overlap)
     S_bra = np.asarray(Schmidt_bra, float)
     S_ket = np.asarray(Schmidt_ket, float)
 
-    C_Sk = C * jnp.asarray(S_ket)[None, :]
+    C_Sk = C * xp.asarray(S_ket)[None, :]
     unitary_error_sq = float(np.sum(S_ket**2)) - float(
-        jnp.real(jnp.sum(C_Sk.conj() * C_Sk))
+        xp.real(xp.sum(C_Sk.conj() * C_Sk))
     )
     if unitary_error_sq < 0:
         err_msg = (
@@ -127,9 +131,9 @@ def basis_rotation(
 
     # orthogonal Procrustes: project onto the closest unitary
     if (mode, form) in (("left", "A"), ("right", "B")):
-        M = jnp.asarray(S_bra)[:, None] * C_Sk
+        M = xp.asarray(S_bra)[:, None] * C_Sk
     else:
-        M = C_Sk * jnp.asarray(S_ket)[None, :]
+        M = C_Sk * xp.asarray(S_ket)[None, :]
 
     if q_bra is not None and q_ket is not None and chinfo is not None:
         if qtotal is None:
@@ -141,10 +145,10 @@ def basis_rotation(
         rotation = U @ Vh
 
     if (mode, form) in (("left", "A"), ("right", "B")):
-        Sb_C = jnp.asarray(S_bra)[:, None] * rotation
+        Sb_C = xp.asarray(S_bra)[:, None] * xp.asarray(rotation)
     else:
-        Sb_C = rotation * jnp.asarray(S_ket)[None, :]
-    schmidt_error = float(jnp.linalg.norm(Sb_C - C_Sk))
+        Sb_C = xp.asarray(rotation) * xp.asarray(S_ket)[None, :]
+    schmidt_error = float(xp.linalg.norm(Sb_C - C_Sk))
     logger.info("%s Schmidt value mixing:   %.4e", mode.capitalize(), schmidt_error)
     if schmidt_error > schmidt_tol:
         warnings.warn(

@@ -2221,35 +2221,47 @@ def _C_to_MPS_body(C, trunc_par, diag_tol, ortho_center, unit_cell_width,
     lams[c] = normalize_SV(Schmidt_center.schmidt_values, logger)
     q_bonds[c] = Schmidt_center.q_left
 
+    # Streamed sweeps: each eigh_chunk block of cuts is classified,
+    # enumerated and its site fills DISPATCHED before the next block's host
+    # work starts, so the device crunches determinant batches while the
+    # single host core works on later cuts (host planning and the device
+    # fill tail are comparable at production sizes — overlapping them is
+    # worth ~1/3 of the conversion wall-clock, BASELINE.md round 3).
+    def stream_half(cuts, which, site_iter, bond_of_site, Schmidt0):
+        Schmidt = Schmidt0
+        sites_it = list(site_iter)
+        pos = 0
+        for j0 in range(0, len(cuts), eigh_chunk):
+            block = cuts[j0 : j0 + eigh_chunk]
+            sv_block = _schmidt_vectors_batched(
+                C, block, which, trunc_par, diag_tol, eigh_chunk
+            )
+            pairs, sites = [], []
+            for Schmidt_new in sv_block:
+                i = sites_it[pos]
+                pos += 1
+                b = bond_of_site(i)
+                lams[b] = normalize_SV(Schmidt_new.schmidt_values, logger)
+                q_bonds[b] = Schmidt_new.q_left
+                pairs.append((Schmidt_new, Schmidt,
+                              "right" if which == "R" else "left"))
+                sites.append(i)
+                Schmidt = Schmidt_new
+            with profiling.stage("tensor_fill"):
+                results = build_site_tensors(pairs)
+            for i, (T, _ql, _qr, qt) in zip(sites, results):
+                tensors[i] = (T, qt)
+
     # ---- right half: cuts c+1 .. L, right Schmidt vectors ----
-    right_cuts = list(range(c + 1, L + 1))
-    right_sv = _schmidt_vectors_batched(C, right_cuts, "R", trunc_par, diag_tol, eigh_chunk)
-    pairs = []
-    sites = []
-    Schmidt = Schmidt_center
-    for i, Schmidt_new in zip(range(c, L), right_sv):
-        lams[i + 1] = normalize_SV(Schmidt_new.schmidt_values, logger)
-        q_bonds[i + 1] = Schmidt_new.q_left
-        pairs.append((Schmidt_new, Schmidt, "right"))
-        sites.append(i)
-        Schmidt = Schmidt_new
-
+    stream_half(
+        list(range(c + 1, L + 1)), "R", range(c, L), lambda i: i + 1,
+        Schmidt_center,
+    )
     # ---- left half: cuts c-1 .. 0, left Schmidt vectors ----
-    left_cuts = list(range(c - 1, -1, -1))
-    left_sv = _schmidt_vectors_batched(C, left_cuts, "L", trunc_par, diag_tol, eigh_chunk)
-    Schmidt = Schmidt_center
-    for i, Schmidt_new in zip(range(c - 1, -1, -1), left_sv):
-        lams[i] = normalize_SV(Schmidt_new.schmidt_values, logger)
-        q_bonds[i] = Schmidt_new.q_left
-        pairs.append((Schmidt_new, Schmidt, "left"))
-        sites.append(i)
-        Schmidt = Schmidt_new
-
-    # grouped device evaluation of every site's tensor
-    with profiling.stage("tensor_fill"):
-        results = build_site_tensors(pairs)
-    for i, (T, _ql, _qr, qt) in zip(sites, results):
-        tensors[i] = (T, qt)
+    stream_half(
+        list(range(c - 1, -1, -1)), "L", range(c - 1, -1, -1), lambda i: i,
+        Schmidt_center,
+    )
 
     form = ["A"] * c + ["B"] * (L - c)
     mps = MPS(
