@@ -48,13 +48,26 @@ CPU_BASELINE_EXTRA = {
 }
 
 
+PROFILE_AUX = False  # set by main() --profile: per-stage report of warm runs
+
+
 def _timed(fn, repeat):
     """(warm_seconds, cold_seconds): best of the warm runs."""
+    import contextlib
+
     times = []
-    for _ in range(max(2, repeat)):
+    for rep in range(max(2, repeat)):
+        prof_cm = contextlib.nullcontext()
+        if PROFILE_AUX and rep > 0:
+            from temfpy_tpu import profiling
+
+            prof_cm = profiling.collect()
         t0 = time.perf_counter()
-        fn()
+        with prof_cm as prof:
+            fn()
         times.append(time.perf_counter() - t0)
+        if PROFILE_AUX and rep > 0:
+            print(prof.report(), file=sys.stderr, flush=True)
     return min(times[1:]), times[0]
 
 
@@ -217,6 +230,9 @@ def main():
         help="print a per-stage wall-clock breakdown of each run to stderr",
     )
     args = p.parse_args()
+    if args.profile:
+        global PROFILE_AUX
+        PROFILE_AUX = True
     configs = {c.strip() for c in args.configs.split(",") if c.strip()}
 
     import os

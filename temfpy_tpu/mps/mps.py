@@ -483,12 +483,23 @@ class MPS:
                 )
         return out
 
-    def correlation_function(self, name1: str, name2: str) -> np.ndarray:
-        r"""All-pairs two-point function  result[i, j] = <op1_i op2_j>
-        (finite MPS), threading Jordan-Wigner strings automatically for
-        fermionic operators, matching the reference's use of TeNPy
+    def correlation_function(
+        self, name1: str, name2: str, sites1=None, sites2=None
+    ) -> np.ndarray:
+        r"""Two-point functions  result[k, l] = <op1_{sites1[k]} op2_{sites2[l]}>,
+        threading Jordan-Wigner strings automatically for fermionic
+        operators, matching the reference's use of TeNPy
         ``MPS.correlation_function`` (examples/slater.py:31-36).
+
+        Finite MPS default: all L x L pairs.  Infinite MPS: arbitrary site
+        pairs — indices may exceed the unit cell (site i lives in copy
+        ``i // L`` of the cell); defaults to the unit cell on both axes
+        (TeNPy ``MPS.correlation_function`` surface on infinite states).
         """
+        if not self.finite:
+            return self._correlation_function_infinite_pairs(
+                name1, name2, sites1, sites2
+            )
         assert self.finite
         L = self.L
         G = [np.asarray(t) for t in self.exact_tensors()]
@@ -555,7 +566,84 @@ class MPS:
                 if k < L - 1:
                     string = site_k.get_op("JW") if needs_jw[i] else None
                     E = self._env_update(E, G[k], G[k], op=string)
+        if sites1 is not None or sites2 is not None:
+            s1 = np.asarray(list(sites1 if sites1 is not None else range(L)))
+            s2 = np.asarray(list(sites2 if sites2 is not None else range(L)))
+            return result[np.ix_(s1, s2)]
         return result
+
+    def _correlation_function_infinite_pairs(
+        self, name1: str, name2: str, sites1=None, sites2=None
+    ) -> np.ndarray:
+        """<op1_i op2_j> for arbitrary site pairs of an infinite MPS in
+        canonical form; site indices beyond the unit cell address its
+        translated copies.  JW strings thread exactly as in the finite
+        :meth:`correlation_function` (mixed fermionic/bosonic pairs raise).
+        """
+        L = self.L
+        if sites1 is None:
+            sites1 = range(L)
+        if sites2 is None:
+            sites2 = range(L)
+        sites1 = list(sites1)
+        sites2 = list(sites2)
+        jw1 = self.sites[0].op_needs_JW.get(name1, False)
+        jw2 = self.sites[0].op_needs_JW.get(name2, False)
+        if jw1 != jw2:
+            raise ValueError(
+                f"correlation_function({name1!r}, {name2!r}): operators "
+                "have mismatched Jordan-Wigner requirements (parity-odd "
+                "pair); such correlators are not supported"
+            )
+        needs_jw = jw1 and jw2
+
+        def B_of(i):
+            return np.asarray(self.get_B(i % L, "B"))
+
+        def op_of(i, name):
+            return np.asarray(self.sites[i % L].get_op(name))
+
+        def pair_value(i, j):
+            # orient so the left operator acts first; the lower triangle
+            # uses (JW @ op2)_j ... op1_i, mirroring the finite path
+            if i == j:
+                B = B_of(i)
+                S2 = np.asarray(self._S[i % L]) ** 2
+                op = op_of(i, name1) @ op_of(i, name2)
+                return complex(np.einsum("a,anb,nm,amb->", S2, B.conj(), op, B))
+            if i < j:
+                a, b = i, j
+                op_left = op_of(i, name1)
+                if needs_jw:
+                    op_left = op_left @ op_of(i, "JW")
+                op_right = op_of(j, name2)
+            else:
+                a, b = j, i
+                op_left = op_of(j, name2)
+                if needs_jw:
+                    op_left = op_of(j, "JW") @ op_left
+                op_right = op_of(i, name1)
+            Ba = B_of(a)
+            S2 = np.asarray(self._S[a % L]) ** 2
+            E = np.einsum("a,anb,nm,amc->bc", S2, Ba.conj(), op_left, Ba)
+            for k in range(a + 1, b):
+                Bk = B_of(k)
+                if needs_jw:
+                    E = np.einsum(
+                        "bc,bnd,nm,cme->de", E, Bk.conj(), op_of(k, "JW"), Bk
+                    )
+                else:
+                    E = np.einsum("bc,bnd,cne->de", E, Bk.conj(), Bk)
+            Bb = B_of(b)
+            return complex(
+                np.einsum("bc,bnd,nm,cmd->", E, Bb.conj(), op_right, Bb)
+            )
+
+        out = np.zeros((len(sites1), len(sites2)), dtype=complex)
+        for k, i in enumerate(sites1):
+            for l, j in enumerate(sites2):
+                out[k, l] = pair_value(int(i), int(j))
+        return out
 
     # ------------------------------------------------------------------
     # entanglement

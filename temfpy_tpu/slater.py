@@ -835,6 +835,48 @@ def _det_fill_packed_group(M, det, ob, ok, pr, pc, t0, t1, t2, *, shape, spec):
     return jax.vmap(f)(M, det, ob, ok, pr, pc, t0, t1, t2)
 
 
+def _split_packed_flat(flat, ob_shape, ok_shape, P_b, spec):
+    """Splits a fused plan buffer (built in ``_direct_plan_packed``) back
+    into (occ_b, occ_k, pr, pc, t0, t1, t2).  All offsets/shapes are static
+    — this traces into pure reshapes of one uploaded array."""
+    R_b, w = ob_shape
+    K_b, _ = ok_shape
+    tls = {"rc": (R_b, K_b, 1), "rrc": (R_b, R_b, K_b),
+           "crr": (K_b, R_b, R_b)}[spec]
+    sizes = [R_b * w, K_b * w, P_b, P_b, *tls]
+    parts, o = [], 0
+    for n in sizes:
+        parts.append(flat[o : o + n])
+        o += n
+    return (parts[0].reshape(ob_shape), parts[1].reshape(ok_shape),
+            *parts[2:])
+
+
+@partial(jax.jit, static_argnames=("ob_shape", "ok_shape", "P_b", "shape",
+                                   "spec"))
+def _det_fill_fused_kernel(M, det_always, flat, *, ob_shape, ok_shape, P_b,
+                           shape, spec):
+    """One-transfer variant of :func:`_det_fill_packed_kernel`: all int32
+    plan fields arrive in a single flat buffer."""
+    args = _split_packed_flat(flat, ob_shape, ok_shape, P_b, spec)
+    return _det_fill_packed_impl(M, det_always, *args, shape=shape, spec=spec)
+
+
+@partial(jax.jit, static_argnames=("ob_shape", "ok_shape", "P_b", "shape",
+                                   "spec"))
+def _det_fill_fused_group(M, det, flat, *, ob_shape, ok_shape, P_b, shape,
+                          spec):
+    """vmapped :func:`_det_fill_fused_kernel` over a group of sites sharing
+    one shape bucket; ``flat`` is (G, flat_len)."""
+
+    def f(M_i, det_i, flat_i):
+        args = _split_packed_flat(flat_i, ob_shape, ok_shape, P_b, spec)
+        return _det_fill_packed_impl(M_i, det_i, *args, shape=shape,
+                                     spec=spec)
+
+    return jax.vmap(f)(M, det, flat)
+
+
 def _swap_fill_packed_impl(M_aug, det_always, D0, G, Pt, T2, T3,
                            Rin, Rout, Rpos, sgr, Cin, Cout, Cpos, sgc,
                            pr, pc, t0, t1, t2, chk_sel,
@@ -1048,8 +1090,17 @@ class MPSTensorData:
             phys[: len(ub)] = self.bra_phys[ub]
             col[len(uk):] = sb0
             spec, tabs = "crr", (col, phys, beta)
+        # single-upload layout: every int32 field of the plan concatenated
+        # into ONE flat buffer (uploads over the TPU tunnel pay a ~ms round
+        # trip EACH — seven small transfers per fill group dominated the
+        # L=512 det_stack stage at 30 s; one fused transfer per group does
+        # not).  The kernel splits it back with static shapes.
+        flat = np.concatenate(
+            [occ_b.ravel(), occ_k.ravel(), pr, pc] + [t.ravel() for t in tabs]
+        ).astype(np.int32, copy=False)
         return {"kind": "direct", "occ_b": occ_b, "occ_k": occ_k,
-                "pr": pr, "pc": pc, "tabs": tabs, "spec": spec}
+                "pr": pr, "pc": pc, "tabs": tabs, "spec": spec,
+                "flat": flat}
 
     def _direct_arrays(self, rows, cols, w_b, m, shape, pad_batch=True):
         """(idx_b, idx_k, scat) arrays of the direct identity-padded path."""
@@ -1761,18 +1812,16 @@ def build_site_tensors(pairs):
     _fg = profiling.stage("fill/det_groups")
     _fg.__enter__()
     for key, entries in fill_groups.items():
-        shape_b, spec = key[0], key[4]
+        shape_b, P_b, ob_shape, ok_shape, spec = key[:5]
         if len(entries) == 1:
             i, j = entries[0]
             plan = fill_plans[i][3][j]
             with profiling.stage("fill/det_stack"):
-                args = tuple(
-                    jnp.asarray(plan[name]) for name in ("occ_b", "occ_k",
-                                                         "pr", "pc")
-                ) + tuple(jnp.asarray(t) for t in plan["tabs"])
+                flat = jnp.asarray(plan["flat"])
             with profiling.stage("fill/det_dispatch"):
-                T = _det_fill_packed_kernel(
-                    datas[i].sometimes_matrix, datas[i].det_always, *args,
+                T = _det_fill_fused_kernel(
+                    datas[i].sometimes_matrix, datas[i].det_always, flat,
+                    ob_shape=ob_shape, ok_shape=ok_shape, P_b=P_b,
                     shape=shape_b, spec=spec,
                 )
             _accumulate(i, T)
@@ -1780,26 +1829,14 @@ def build_site_tensors(pairs):
             with profiling.stage("fill/det_stack"):
                 M = jnp.stack([datas[i].sometimes_matrix for i, _ in entries])
                 det = jnp.stack([datas[i].det_always for i, _ in entries])
-
-                def stkp(name):
-                    return jnp.asarray(
-                        np.stack([fill_plans[i][3][j][name]
-                                  for i, j in entries])
-                    )
-
-                ob, ok, pr, pc = (stkp(n) for n in ("occ_b", "occ_k",
-                                                    "pr", "pc"))
-                t0, t1, t2 = (
-                    jnp.asarray(
-                        np.stack([fill_plans[i][3][j]["tabs"][a]
-                                  for i, j in entries])
-                    )
-                    for a in range(3)
+                flat = jnp.asarray(
+                    np.stack([fill_plans[i][3][j]["flat"]
+                              for i, j in entries])
                 )
             with profiling.stage("fill/det_dispatch"):
-                T_s = _det_fill_packed_group(
-                    M, det, ob, ok, pr, pc, t0, t1, t2,
-                    shape=shape_b, spec=spec,
+                T_s = _det_fill_fused_group(
+                    M, det, flat, ob_shape=ob_shape, ok_shape=ok_shape,
+                    P_b=P_b, shape=shape_b, spec=spec,
                 )
             for T, (i, _j) in zip(_unstack(T_s), entries):
                 _accumulate(i, T)

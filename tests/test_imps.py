@@ -178,3 +178,52 @@ def test_infinite_observables_match_finite_bulk():
         want = corr_fin[mid, mid + r]
         got = corr_inf[mid % cell, r - 1]
         np.testing.assert_allclose(got, want, atol=5e-6)
+
+
+def test_infinite_correlation_function_general_pairs():
+    """The general-pairs correlation_function on an infinite MPS (arbitrary
+    sites1 x sites2, indices beyond the unit cell, both triangles) matches
+    the bulk of a long finite conversion and the max_range variant
+    (TeNPy ``MPS.correlation_function`` surface, reference gutzwiller
+    examples)."""
+    import numpy as np
+
+    from temfpy_tpu import slater
+
+    def dimer_H(L, t1=-1.0, t2=-2.5):
+        M = t1 * np.ones(L - 1)
+        M[1::2] = t2
+        M = np.diag(M, 1)
+        return M + M.T
+
+    L = 32
+    cell = 2
+    imps, _err = slater.H_to_iMPS(
+        dimer_H(L), dimer_H(L + cell), {"chi_max": 48}, cell, L // 2
+    )
+    fin = slater.H_to_MPS(dimer_H(L), {"chi_max": 48})
+    corr_fin = fin.correlation_function("Cd", "C")
+    mid = L // 2
+
+    # beyond-cell pairs, both orders, vs the finite bulk (ranges <= 5:
+    # longer separations differ from the L=32 finite bulk by its own
+    # finite-size tail, not by conversion error)
+    sites1 = [0, 1, 4]
+    sites2 = [0, 2, 5]
+    got = imps.correlation_function("Cd", "C", sites1, sites2)
+    for k, i in enumerate(sites1):
+        for l, j in enumerate(sites2):
+            want = corr_fin[mid + i, mid + j]
+            np.testing.assert_allclose(got[k, l], want, atol=5e-6,
+                                       err_msg=f"pair {(i, j)}")
+
+    # consistency with the max_range variant
+    rng = imps.correlation_function_infinite("Cd", "C", max_range=6)
+    got2 = imps.correlation_function("Cd", "C", [0], range(1, 7))
+    np.testing.assert_allclose(got2[0], rng[0], atol=1e-12)
+
+    # finite slicing surface
+    sub = fin.correlation_function("Cd", "C", [3, 5], [4, 8])
+    np.testing.assert_allclose(
+        sub, corr_fin[np.ix_([3, 5], [4, 8])], atol=0
+    )
