@@ -334,6 +334,108 @@ def batched_pfaffian_pairs_split(Nr, Ni, idx, pad_slots: int, chunk: int | None 
     )
 
 
+def _derive_pair_indices(pos_b, pos_k, cnt_b, cnt_k, pr, pc, width, m):
+    """Derives the (P, width) combined index rows of the pair-Pfaffian batch
+    on device: ket excitation positions first, then bra positions, then a
+    contiguous tail of symplectic-padding sentinels starting at ``m``.
+    ``pos_*`` are per-unique-bond position tables, ``cnt_*`` the excitation
+    counts, ``pr``/``pc`` the (P,) pair-id vectors."""
+    nk = cnt_k[pc]
+    nb = cnt_b[pr]
+    tot = nk + nb
+    s = jnp.arange(width, dtype=jnp.int32)[None, :]
+    kslot = jnp.minimum(s, pos_k.shape[1] - 1)
+    ket_vals = pos_k[pc[:, None], kslot]
+    bslot = jnp.clip(s - nk[:, None], 0, pos_b.shape[1] - 1)
+    bra_vals = pos_b[pr[:, None], bslot]
+    pad_vals = m + (s - tot[:, None])
+    idx = jnp.where(
+        s < nk[:, None], ket_vals,
+        jnp.where(s < tot[:, None], bra_vals, pad_vals),
+    )
+    return idx.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("width", "m", "shapes"))
+def _pf_pairs_packed_split_impl(Nr_aug, Ni_aug, flat, *, width, m, shapes):
+    """Packed split-complex pair Pfaffians: all int32 plan fields arrive in
+    ONE flat buffer (pos_b, pos_k, cnt_b, cnt_k, pr, pc concatenated) —
+    uploads over the TPU tunnel pay a per-transfer round trip, and the
+    (P, width) index matrix itself is derived on device (host->device index
+    traffic O(chi * w + P) instead of O(P * w))."""
+    from .linalg import gather_submatrices
+
+    (R, wtb), (K, wtk), P = shapes
+    sizes = [R * wtb, K * wtk, R, K, P, P]
+    parts, o = [], 0
+    for nsz in sizes:
+        parts.append(flat[o : o + nsz])
+        o += nsz
+    pos_b = parts[0].reshape(R, wtb)
+    pos_k = parts[1].reshape(K, wtk)
+    cnt_b, cnt_k, pr, pc = parts[2:]
+    idx = _derive_pair_indices(pos_b, pos_k, cnt_b, cnt_k, pr, pc, width, m)
+    sub_r = gather_submatrices(Nr_aug, idx, idx)
+    sub_i = gather_submatrices(Ni_aug, idx, idx)
+    return _pfaffian_batch_last_split(
+        jnp.transpose(sub_r, (1, 2, 0)), jnp.transpose(sub_i, (1, 2, 0))
+    )
+
+
+def batched_pfaffian_pairs_packed_split(
+    Nr, Ni, pos_b, pos_k, cnt_b, cnt_k, pr, pc,
+    width: int, pad_slots: int, chunk: int | None = None,
+):
+    """Split-complex pair Pfaffians from packed host tables (see
+    :func:`_derive_pair_indices` for the layout).  ``pos_*``/``cnt_*``/
+    ``pr``/``pc`` are host int32 arrays; each dispatch ships them as one
+    fused transfer.  Sentinel pair ids must point at a table row with
+    count 0, which yields an all-padding index row (Pf = 1)."""
+    Nr = jnp.asarray(Nr)
+    Ni = jnp.asarray(Ni)
+    if width == 0:
+        one = jnp.ones((len(pr),), dtype=Nr.dtype)
+        return one, jnp.zeros_like(one)
+    assert width % 2 == 0, "total index count per row must be even"
+    m = Nr.shape[-1]
+    if pad_slots:
+        Nr_aug = symplectic_pad(Nr, pad_slots)
+        Ni_aug = jnp.zeros(
+            Ni.shape[:-2] + (m + pad_slots, m + pad_slots), dtype=Ni.dtype
+        ).at[..., :m, :m].set(Ni)
+    else:
+        Nr_aug, Ni_aug = Nr, Ni
+    from ..parallel.mesh import replicate
+
+    Nr_aug = replicate(Nr_aug)
+    Ni_aug = replicate(Ni_aug)
+    shapes_head = (pos_b.shape, pos_k.shape)
+    head = [
+        np.asarray(pos_b, np.int32).ravel(), np.asarray(pos_k, np.int32).ravel(),
+        np.asarray(cnt_b, np.int32), np.asarray(cnt_k, np.int32),
+    ]
+    pr = np.asarray(pr, np.int32)
+    pc = np.asarray(pc, np.int32)
+    P = len(pr)
+    step = P if chunk is None or P <= chunk else chunk
+    outs = []
+    for i in range(0, P, step):
+        pr_c, pc_c = pr[i : i + step], pc[i : i + step]
+        flat = jnp.asarray(np.concatenate(head + [pr_c, pc_c]))
+        outs.append(
+            _pf_pairs_packed_split_impl(
+                Nr_aug, Ni_aug, flat, width=width, m=m,
+                shapes=shapes_head + (len(pr_c),),
+            )
+        )
+    if len(outs) == 1:
+        return outs[0]
+    return (
+        jnp.concatenate([o[0] for o in outs]),
+        jnp.concatenate([o[1] for o in outs]),
+    )
+
+
 def batched_pfaffian_pairs(N, idx, pad_slots: int, chunk: int | None = None):
     """Pfaffians ``Pf(N[idx[p], idx[p]])`` for a flat list of index rows.
 

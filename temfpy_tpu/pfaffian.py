@@ -44,7 +44,11 @@ from .ops.linalg import (
     robust_svd,
     scatter_padded,
 )
-from .ops.pfaffian import batched_pfaffian_pairs, batched_pfaffian_pairs_split
+from .ops.pfaffian import (
+    batched_pfaffian_pairs,
+    batched_pfaffian_pairs_packed_split,
+    batched_pfaffian_pairs_split,
+)
 from .schmidt_utils import lowest_sums, to_stopping_condition
 from . import profiling, testing
 from .testing import (
@@ -1110,42 +1114,74 @@ class MPSTensorData:
         cols = np.concatenate(pair_c)
         P = len(rows)
 
-        # combined index rows: ket positions, then bra positions, then pads
-        nk = cnt_ket[cols]
-        nb = cnt_bra[rows]
-        total = nk + nb
-        idx = np.empty((P, width), dtype=np.int32)
-        slot = np.arange(width)[None, :]
-        # fill pads first (contiguous tail of consecutive sentinels from m)
-        idx[:] = m + (slot - total[:, None])
-        # overwrite slots [0, nk) with ket positions, [nk, nk+nb) with bra
-        take_k = slot < nk[:, None]
-        kslot = np.minimum(slot, pos_ket.shape[1] - 1)
-        ket_vals = np.take_along_axis(pos_ket[cols], kslot, axis=1)
-        idx = np.where(take_k, ket_vals, idx)
-        bslot = np.minimum(slot - nk[:, None], pos_bra.shape[1] - 1)
-        bslot = np.clip(bslot, 0, None)
-        bra_vals = np.take_along_axis(pos_bra[rows], bslot, axis=1)
-        take_b = (slot >= nk[:, None]) & (slot < total[:, None])
-        idx = np.where(take_b, bra_vals, idx)
-
-        # bucket the batch axis; dummy rows are all-pad (Pf = 1) and are
+        # bucket the batch axis; dummy pairs are all-pad (Pf = 1) and are
         # routed to a trash slot by the padded scatter downstream
         P_b = max(256, 1 << int(np.ceil(np.log2(P))))
-        if P_b > P:
-            pad_row = m + np.arange(width, dtype=np.int32)
-            idx = np.concatenate([idx, np.broadcast_to(pad_row, (P_b - P, width))])
 
         if split_planes:
-            vr, vi = batched_pfaffian_pairs_split(
-                self.pfaffian_matrix[0], self.pfaffian_matrix[1], idx,
-                pad_slots=width, chunk=pf_chunk,
+            # packed dispatch: ship per-bond position/count tables and the
+            # (P_b,) pair ids in ONE fused transfer; the (P, width) index
+            # matrix derives on device (the per-site index upload dominated
+            # the p+ip stress fill, BASELINE.md round 3)
+            def pow2(n, lo):
+                b = lo
+                while b < n:
+                    b *= 2
+                return b
+
+            # one bucket for BOTH table axes: every distinct (R_b, K_b,
+            # wt_b, wt_k) combination is a separate remotely-compiled
+            # executable family, and the tables are tiny — squaring them
+            # costs bytes and saves cold-compile minutes
+            wt = min(max(pos_bra.shape[1], pos_ket.shape[1]), width)
+            R_b = K_b = pow2(
+                max(self.sets_bra.shape[0], self.sets_ket.shape[0]) + 1, 32
+            )
+            pos_b = np.zeros((R_b, max(wt, 1)), np.int32)
+            pos_b[: pos_bra.shape[0]] = pos_bra[:, : max(wt, 1)]
+            pos_k = np.zeros((K_b, max(wt, 1)), np.int32)
+            pos_k[: pos_ket.shape[0]] = pos_ket[:, : max(wt, 1)]
+            cnt_b = np.zeros(R_b, np.int32)
+            cnt_b[: len(cnt_bra)] = cnt_bra
+            cnt_k = np.zeros(K_b, np.int32)
+            cnt_k[: len(cnt_ket)] = cnt_ket
+            pr = np.full(P_b, R_b - 1, np.int32)
+            pr[:P] = rows
+            pc = np.full(P_b, K_b - 1, np.int32)
+            pc[:P] = cols
+            vr, vi = batched_pfaffian_pairs_packed_split(
+                self.pfaffian_matrix[0], self.pfaffian_matrix[1],
+                pos_b, pos_k, cnt_b, cnt_k, pr, pc,
+                width=width, pad_slots=width, chunk=pf_chunk,
             )
             # complex assembly happens on the host (no device complex)
             # device multiply (norm may be a device scalar); the host
             # combine happens at materialisation time so queued sites overlap
             vals = (vr * self.norm, vi * self.norm)
         else:
+            # combined index rows: ket positions, then bra, then pads
+            nk = cnt_ket[cols]
+            nb = cnt_bra[rows]
+            total = nk + nb
+            idx = np.empty((P, width), dtype=np.int32)
+            slot = np.arange(width)[None, :]
+            # fill pads first (contiguous sentinel tail from m)
+            idx[:] = m + (slot - total[:, None])
+            # overwrite slots [0, nk) with ket positions, [nk, nk+nb) bra
+            take_k = slot < nk[:, None]
+            kslot = np.minimum(slot, pos_ket.shape[1] - 1)
+            ket_vals = np.take_along_axis(pos_ket[cols], kslot, axis=1)
+            idx = np.where(take_k, ket_vals, idx)
+            bslot = np.minimum(slot - nk[:, None], pos_bra.shape[1] - 1)
+            bslot = np.clip(bslot, 0, None)
+            bra_vals = np.take_along_axis(pos_bra[rows], bslot, axis=1)
+            take_b = (slot >= nk[:, None]) & (slot < total[:, None])
+            idx = np.where(take_b, bra_vals, idx)
+            if P_b > P:
+                pad_row = m + np.arange(width, dtype=np.int32)
+                idx = np.concatenate(
+                    [idx, np.broadcast_to(pad_row, (P_b - P, width))]
+                )
             vals = batched_pfaffian_pairs(
                 self.pfaffian_matrix, idx, pad_slots=width, chunk=pf_chunk
             )

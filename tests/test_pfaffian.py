@@ -231,3 +231,105 @@ def test_pfaffian_imps_split_backend(monkeypatch):
     assert err.left_unitary < 1e-3
     n = imps.expectation_value("N").real
     assert np.all((n > 0) & (n < 1))
+
+
+def test_kitaev_fidelity_split_backend(monkeypatch):
+    """The split-complex (TPU-constraint) fill path — packed pair tables,
+    device-derived index rows — reproduces the exact ground state."""
+    monkeypatch.setenv("TEMFPY_TPU_DEVICE_COMPLEX", "0")
+    L = 6
+    H, h, D = kitaev_H_C(L, mu=0.5)
+    mps = pfaffian.H_to_MPS(H, {"chi_max": 64}, basis="C")
+    psi_exact = exact_bdg_ground_state(L, h, D)
+    f = oracles.fidelity(psi_exact, mps.to_statevector())
+    assert f > 1 - 1e-9, f"fidelity {f}"
+    assert abs(mps.norm_squared() - 1) < 1e-9
+
+
+def test_packed_pair_pfaffians_match_index_path():
+    """batched_pfaffian_pairs_packed_split (one fused int32 upload,
+    on-device index derivation) is bit-identical to the explicit
+    (P, width) index-matrix path."""
+    import jax.numpy as jnp
+
+    from temfpy_tpu.ops.pfaffian import (
+        batched_pfaffian_pairs_packed_split,
+        batched_pfaffian_pairs_split,
+    )
+
+    rng = np.random.default_rng(0)
+    m = 12
+    A = rng.normal(size=(m, m)) + 1j * rng.normal(size=(m, m))
+    A = A - A.T
+    nb, nk = 9, 7
+    sets_b = rng.random((nb, m)) < 0.3
+    sets_k = rng.random((nk, m)) < 0.3
+    cnt_b = sets_b.sum(1)
+    cnt_k = sets_k.sum(1)
+    rows, cols = [], []
+    for p in (0, 1):
+        r = np.nonzero(cnt_b % 2 == p)[0]
+        c = np.nonzero(cnt_k % 2 == p)[0]
+        rows.append(np.repeat(r, len(c)))
+        cols.append(np.tile(c, len(r)))
+    rows = np.concatenate(rows)
+    cols = np.concatenate(cols)
+    P = len(rows)
+    width = int(cnt_b.max() + cnt_k.max())
+    width = max(4, -(-width // 4) * 4)
+
+    def positions(sets):
+        return np.argsort(~sets, axis=1, kind="stable").astype(np.int32)
+
+    pos_b = positions(sets_b)
+    pos_k = positions(sets_k)
+
+    # explicit index rows (ket positions, bra positions, sentinel tail)
+    nk_p = cnt_k[cols]
+    total = nk_p + cnt_b[rows]
+    idx = np.empty((P, width), np.int32)
+    slot = np.arange(width)[None, :]
+    idx[:] = m + (slot - total[:, None])
+    kslot = np.minimum(slot, pos_k.shape[1] - 1)
+    idx = np.where(
+        slot < nk_p[:, None],
+        np.take_along_axis(pos_k[cols], kslot, 1), idx,
+    )
+    bslot = np.clip(slot - nk_p[:, None], 0, pos_b.shape[1] - 1)
+    take_b = (slot >= nk_p[:, None]) & (slot < total[:, None])
+    idx = np.where(take_b, np.take_along_axis(pos_b[rows], bslot, 1), idx)
+    P_b = max(256, 1 << int(np.ceil(np.log2(P))))
+    pad_row = m + np.arange(width, dtype=np.int32)
+    idx = np.concatenate([idx, np.broadcast_to(pad_row, (P_b - P, width))])
+    vr0, vi0 = batched_pfaffian_pairs_split(A.real, A.imag, idx,
+                                            pad_slots=width)
+
+    def pow2(n, lo):
+        b = lo
+        while b < n:
+            b *= 2
+        return b
+
+    wt_b = min(pos_b.shape[1], width)
+    wt_k = min(pos_k.shape[1], width)
+    R_b = pow2(nb + 1, 32)
+    K_b = pow2(nk + 1, 32)
+    pb = np.zeros((R_b, wt_b), np.int32)
+    pb[:nb] = pos_b[:, :wt_b]
+    pk = np.zeros((K_b, wt_k), np.int32)
+    pk[:nk] = pos_k[:, :wt_k]
+    cb = np.zeros(R_b, np.int32)
+    cb[:nb] = cnt_b
+    ck = np.zeros(K_b, np.int32)
+    ck[:nk] = cnt_k
+    pr = np.full(P_b, R_b - 1, np.int32)
+    pr[:P] = rows
+    pc = np.full(P_b, K_b - 1, np.int32)
+    pc[:P] = cols
+    for chunk in (None, 128):
+        vr1, vi1 = batched_pfaffian_pairs_packed_split(
+            A.real, A.imag, pb, pk, cb, ck, pr, pc,
+            width=width, pad_slots=width, chunk=chunk,
+        )
+        assert float(jnp.max(jnp.abs(vr0 - vr1))) == 0.0
+        assert float(jnp.max(jnp.abs(vi0 - vi1))) == 0.0
