@@ -302,10 +302,12 @@ def MPS_to_iMPS(
     svs = [mps_long._S[cut + i] for i in range(1, sites_per_cell)]
     qts = list(mps_long.qtotal[cut : cut + sites_per_cell])
 
-    # apply the gauge unitaries at the edges
-    tensors[0] = jnp.einsum("ab,bnc->anc", C, tensors[0])
+    # apply the gauge unitaries at the edges (host tensors stay numpy:
+    # one stray jnp.einsum would upload the whole unit cell to the device)
+    xp = np if isinstance(tensors[0], np.ndarray) else jnp
+    tensors[0] = xp.einsum("ab,bnc->anc", xp.asarray(C), tensors[0])
     # new vR coefficient: T'[.., a] = sum_b T[.., b] <R'_a | R_b>
-    tensors[-1] = jnp.einsum("anb,cb->anc", tensors[-1], D)
+    tensors[-1] = xp.einsum("anb,cb->anc", tensors[-1], xp.asarray(D))
 
     svs = [S0] + svs + [S0]
 
