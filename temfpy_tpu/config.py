@@ -89,6 +89,13 @@ def cpu_device():
 # dispatch/transfer latency.
 _SMALL_WORK = float(os.environ.get("TEMFPY_TPU_SMALL_WORK", "1e9"))
 
+# Bond-dimension threshold above which the tensor-fill scatter targets are
+# sharded along their leading bond axis over the active mesh ("cuts" axis).
+# At chi=4096 a bucketed f64 site tensor is ~256 MB (BASELINE config 5) and
+# must not materialise replicated on every chip; small tensors stay
+# replicated because per-site collectives cost more than they save.
+CHI_SHARD_MIN = int(os.environ.get("TEMFPY_TPU_CHI_SHARD_MIN", "2048"))
+
 import threading as _threading  # noqa: E402
 
 _tls = _threading.local()

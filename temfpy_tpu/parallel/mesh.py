@@ -147,6 +147,20 @@ def multichip_conversion_step(mesh: Mesh, L: int = 16, width: int = 4, n_pairs: 
     for a, b in zip(mps_ref._B, mps_mesh._B):
         dev = float(jnp.abs(jnp.asarray(a) - jnp.asarray(b)).max())
         assert dev < 1e-12, f"mesh-sharded conversion deviates: {dev}"
+    # chi-sharded fill: scatter targets' bond axis sharded over "cuts"
+    # (config-5 path, normally gated to chi >= config.CHI_SHARD_MIN)
+    from .. import config as _config
+
+    prev_min = _config.CHI_SHARD_MIN
+    _config.CHI_SHARD_MIN = 8
+    try:
+        with use_mesh(mesh):
+            mps_chi = slater.C_to_MPS(C0, {"chi_max": 16})
+    finally:
+        _config.CHI_SHARD_MIN = prev_min
+    for a, b in zip(mps_ref._B, mps_chi._B):
+        dev = float(jnp.abs(jnp.asarray(a) - jnp.asarray(b)).max())
+        assert dev < 1e-12, f"chi-sharded conversion deviates: {dev}"
     # tensors already bit-compare; the overlap just confirms contractability
     fid = abs(mps_ref.overlap(mps_mesh)) / max(mps_ref.norm_squared(), 1e-30)
     assert np.isfinite(fid) and fid > 1 - 1e-10

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import logging
 from dataclasses import dataclass
-from functools import partial
+from functools import lru_cache, partial
 from typing import Literal, Type
 
 import numpy as np
@@ -33,6 +33,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from . import config
 from .config import DIAG_TOL as _DIAG_TOL
 from .mps import MPS, FermionSite
 from .ops.linalg import (
@@ -897,6 +898,79 @@ def _det_fill_fused_group(M, det, flat, *, ob_shape, ok_shape, P_b, shape,
     return jax.vmap(f)(M, det, flat)
 
 
+@lru_cache(maxsize=None)
+def _sharded_fused_fill(mesh, group: bool, ndim: int):
+    """chi-sharded fused fill: the output tensor's leading bond axis is
+    sharded over the mesh "cuts" axis, so bucketed site tensors at
+    chi >= config.CHI_SHARD_MIN never materialise replicated on every chip
+    (BASELINE config 5 / SURVEY §5.8); GSPMD partitions the scatter by
+    output slot and all-reduces the determinant batch contributions."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    lead = (None, "cuts") if group else ("cuts",)
+    out = NamedSharding(mesh, PartitionSpec(*lead, *[None] * (ndim - 1)))
+
+    if group:
+        def f(M, det, flat, *, ob_shape, ok_shape, P_b, shape, spec):
+            def g(M_i, det_i, flat_i):
+                args = _split_packed_flat(flat_i, ob_shape, ok_shape, P_b,
+                                          spec)
+                return _det_fill_packed_impl(M_i, det_i, *args, shape=shape,
+                                             spec=spec)
+
+            return jax.vmap(g)(M, det, flat)
+    else:
+        def f(M, det, flat, *, ob_shape, ok_shape, P_b, shape, spec):
+            args = _split_packed_flat(flat, ob_shape, ok_shape, P_b, spec)
+            return _det_fill_packed_impl(M, det, *args, shape=shape,
+                                         spec=spec)
+
+    return partial(
+        jax.jit,
+        static_argnames=("ob_shape", "ok_shape", "P_b", "shape", "spec"),
+        out_shardings=out,
+    )(f)
+
+
+def _fused_fill_kernel(shape_b, group: bool):
+    """The fused fill executable for this bucket: chi-sharded over the
+    active mesh when the leading bond axis is large enough to pay for the
+    collectives, plain single-device jit otherwise."""
+    mesh = _chi_shard_mesh(shape_b)
+    if mesh is not None:
+        return _sharded_fused_fill(mesh, group, len(shape_b))
+    return _det_fill_fused_group if group else _det_fill_fused_kernel
+
+
+def _chi_shard_mesh(shape_b):
+    """The active mesh if this bucket's leading bond axis should be
+    chi-sharded over its "cuts" axis (axis divides the bucket and the bond
+    is >= config.CHI_SHARD_MIN), else None."""
+    from .parallel.mesh import active_mesh
+
+    mesh = active_mesh()
+    if mesh is None:
+        return None
+    n = mesh.shape.get("cuts", 1)
+    if n > 1 and shape_b[0] % n == 0 and shape_b[0] >= config.CHI_SHARD_MIN:
+        return mesh
+    return None
+
+
+@lru_cache(maxsize=None)
+def _sharded_packed_fill(mesh, ndim: int):
+    """chi-sharded :func:`_det_fill_packed_impl`: output bond axis sharded
+    over the mesh "cuts" axis while the (P_b,) pair-id vectors stay sharded
+    over "pairs" (GSPMD turns the scatter into a reduce-scatter across the
+    pair shards)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    out = NamedSharding(mesh, PartitionSpec("cuts", *[None] * (ndim - 1)))
+    return partial(
+        jax.jit, static_argnames=("shape", "spec"), out_shardings=out
+    )(_det_fill_packed_impl)
+
+
 def _swap_fill_packed_impl(M_aug, det_always, D0, G, Pt, T2, T3,
                            Rin, Rout, Rpos, sgr, Cin, Cout, Cpos, sgc,
                            pr, pc, t0, t1, t2, chk_sel,
@@ -1369,7 +1443,10 @@ class MPSTensorData:
         for plan in plans:
             if plan["kind"] == "direct":
                 t0, t1, t2 = plan["tabs"]
-                parts.append(_det_fill_packed_kernel(
+                smesh = _chi_shard_mesh(shape_b)
+                fill = (_sharded_packed_fill(smesh, len(shape_b))
+                        if smesh is not None else _det_fill_packed_kernel)
+                parts.append(fill(
                     replicate(self.sometimes_matrix), self.det_always,
                     replicate(plan["occ_b"]), replicate(plan["occ_k"]),
                     shard_batch(plan["pr"]), shard_batch(plan["pc"]),
@@ -1848,7 +1925,7 @@ def build_site_tensors(pairs):
             with profiling.stage("fill/det_stack"):
                 flat = jnp.asarray(plan["flat"])
             with profiling.stage("fill/det_dispatch"):
-                T = _det_fill_fused_kernel(
+                T = _fused_fill_kernel(shape_b, group=False)(
                     datas[i].sometimes_matrix, datas[i].det_always, flat,
                     ob_shape=ob_shape, ok_shape=ok_shape, P_b=P_b,
                     shape=shape_b, spec=spec,
@@ -1863,7 +1940,7 @@ def build_site_tensors(pairs):
                               for i, j in entries])
                 )
             with profiling.stage("fill/det_dispatch"):
-                T_s = _det_fill_fused_group(
+                T_s = _fused_fill_kernel(shape_b, group=True)(
                     M, det, flat, ob_shape=ob_shape, ok_shape=ok_shape,
                     P_b=P_b, shape=shape_b, spec=spec,
                 )

@@ -95,3 +95,35 @@ def test_multichip_conversion_step_runs():
     """The driver dryrun body, in pytest."""
     out = pmesh.multichip_conversion_step(pmesh.make_mesh(), L=12, width=4)
     assert np.isfinite(out)
+
+
+@needs_multi
+def test_chi_sharded_fill_bit_identical(monkeypatch):
+    """With CHI_SHARD_MIN lowered to test scale, the fused fill's scatter
+    targets are sharded along the bond axis over the mesh "cuts" axis
+    (BASELINE config 5: chi >= 4096 tensors must not replicate per chip);
+    the conversion stays bit-identical to single-device."""
+    from temfpy_tpu import config
+
+    # near-critical chain: bond buckets reach >= 32
+    L = 24
+    H = np.zeros((L, L))
+    for i in range(L - 1):
+        H[i, i + 1] = H[i + 1, i] = -1.0
+    e, v = np.linalg.eigh(H)
+    occ = v[:, e < 0]
+    C = occ @ occ.T
+
+    monkeypatch.setenv("TEMFPY_TPU_DET_UPDATES", "0")  # all pairs direct
+    ref = slater.C_to_MPS(C, {"chi_max": 64})
+    monkeypatch.setattr(config, "CHI_SHARD_MIN", 32)
+    hits0 = slater._sharded_packed_fill.cache_info().currsize
+    with pmesh.use_mesh(pmesh.make_mesh()):
+        out = slater.C_to_MPS(C, {"chi_max": 64})
+    assert slater._sharded_packed_fill.cache_info().currsize > hits0, (
+        "no fill bucket took the chi-sharded path; lower the test threshold")
+    for i, (a, b) in enumerate(zip(ref._B, out._B)):
+        dev = float(jnp.abs(jnp.asarray(a) - jnp.asarray(b)).max())
+        assert dev == 0.0, f"site {i} deviates by {dev}"
+    for sa, sb in zip(ref._S, out._S):
+        np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
