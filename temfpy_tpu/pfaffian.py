@@ -31,6 +31,7 @@ from typing import Type
 import numpy as np
 from scipy.stats import ortho_group
 
+import jax
 import jax.numpy as jnp
 
 from .config import DIAG_TOL as _DIAG_TOL, complex_on_device
@@ -1201,6 +1202,47 @@ class MPSTensorData:
             object.__setattr__(self, "_pair_cache", self._pair_values(pf_chunk))
         return self
 
+    @staticmethod
+    def materialise_queued(datas):
+        """Downloads every queued site's split-plane pair values in ONE
+        fused transfer per plane.  Each device->host transfer over the TPU
+        tunnel pays a full round trip, so 2L per-site downloads cost ~14 s
+        of the p+ip stress fill (BASELINE.md round 3); one concatenation
+        plus two downloads replaces them.  Sites whose cache is already
+        host-resident (or complex-path sites) are left untouched."""
+        entries = []
+        for d in datas:
+            cache = getattr(d, "_pair_cache", None) if d is not None else None
+            if cache is None:
+                continue
+            vals = cache[2]
+            if (isinstance(vals, tuple)
+                    and not isinstance(vals[0], np.ndarray)):
+                entries.append((d, cache))
+        if len(entries) < 2:
+            return
+        with profiling.stage("fill/device_wait"):
+            # slice off the pow2 batch padding before the transfer: only
+            # the first len(rows) values of each site are real
+            vr_d = jnp.concatenate(
+                [c[2][0][: len(c[0])] for _, c in entries]
+            )
+            vi_d = jnp.concatenate(
+                [c[2][1][: len(c[0])] for _, c in entries]
+            )
+            jax.block_until_ready((vr_d, vi_d))
+        with profiling.stage("fill/download"):
+            vr = np.asarray(vr_d)
+            vi = np.asarray(vi_d)
+        off = 0
+        for d, (rows, cols, vals) in entries:
+            n = len(rows)
+            object.__setattr__(
+                d, "_pair_cache",
+                (rows, cols, (vr[off : off + n], vi[off : off + n])),
+            )
+            off += n
+
     def to_dense_tensor(self, pf_chunk: int | None = 16384):
         """The MPS tensor as a dense (chiL, d, chiR) device array with Z2
         bond labels (replaces reference ``to_npc_array``,
@@ -1208,7 +1250,8 @@ class MPSTensorData:
         cache = getattr(self, "_pair_cache", None)
         rows, cols, vals = cache if cache is not None else self._pair_values(pf_chunk)
         if isinstance(vals, tuple):  # split planes -> host complex
-            vals = np.asarray(vals[0]) + 1j * np.asarray(vals[1])
+            with profiling.stage("fill/download"):
+                vals = np.asarray(vals[0]) + 1j * np.asarray(vals[1])
         nb = len(self.q_bra)
         nk = len(self.q_ket)
         split_planes = isinstance(self.pfaffian_matrix, tuple)
@@ -1217,8 +1260,11 @@ class MPSTensorData:
 
             def scatter(vals, shape, indices, n_real, dtype):
                 # host scatter: the complex tensor cannot live on the device
-                T = np.zeros(shape, dtype=dtype)
-                T[tuple(np.asarray(ix) for ix in indices)] = np.asarray(vals)[:n_real]
+                with profiling.stage("fill/scatter_host"):
+                    T = np.zeros(shape, dtype=dtype)
+                    T[tuple(np.asarray(ix) for ix in indices)] = (
+                        np.asarray(vals)[:n_real]
+                    )
                 return T
 
         else:
@@ -1365,7 +1411,9 @@ def _C_to_MPS_body(C, trunc_par, basis, diag_tol, ortho_center,
             ).queue()
         Schmidt = Schmidt_new
 
-    # ---- materialisation pass (synchronises once per site, in order) ----
+    # ---- materialisation pass: one fused download, then host scatters ----
+    with profiling.stage("tensor_fill"):
+        MPSTensorData.materialise_queued(datas)
     for i in range(L):
         with profiling.stage("tensor_fill"):
             T, _, _, qt = datas[i].to_dense_tensor()
