@@ -1115,7 +1115,11 @@ class MPSTensorData:
             if not (rows.size and cols.size):
                 continue
             c = int(c)
-            w_b = 4 if c <= 4 else -(-c // 8) * 8
+            # multiple-of-4 width grid: the padded LU costs (w_b/c)^3, so
+            # the previous ceil-to-8 grid wasted up to 5.6x flops at c=9
+            # (w_b=16); ceil-to-4 caps the waste at ~2.4x for one or two
+            # extra executable families per conversion
+            w_b = 4 if c <= 4 else -(-c // 4) * 4
             if not (use_swap and c > 4 and rows.size * cols.size >= 64):
                 r_l, c_l = direct.setdefault(w_b, ([], []))
                 r_l.append(np.repeat(rows, cols.size))
