@@ -118,6 +118,13 @@ class MPS:
         return len(self.sites)
 
     @property
+    def N_sites_per_hor_spacing(self) -> int:
+        """Reference-named alias of :attr:`unit_cell_width` (TeNPy
+        MPSGeometry's cylinder bookkeeping, used by reference
+        iMPS.py:322-352)."""
+        return self.unit_cell_width
+
+    @property
     def finite(self) -> bool:
         return self.bc == "finite"
 
