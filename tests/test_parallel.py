@@ -117,10 +117,15 @@ def test_chi_sharded_fill_bit_identical(monkeypatch):
     monkeypatch.setenv("TEMFPY_TPU_DET_UPDATES", "0")  # all pairs direct
     ref = slater.C_to_MPS(C, {"chi_max": 64})
     monkeypatch.setattr(config, "CHI_SHARD_MIN", 32)
-    hits0 = slater._sharded_packed_fill.cache_info().currsize
+    sharded_calls = []
+    orig = slater._sharded_packed_fill
+    monkeypatch.setattr(
+        slater, "_sharded_packed_fill",
+        lambda mesh, ndim: (sharded_calls.append(ndim), orig(mesh, ndim))[1],
+    )
     with pmesh.use_mesh(pmesh.make_mesh()):
         out = slater.C_to_MPS(C, {"chi_max": 64})
-    assert slater._sharded_packed_fill.cache_info().currsize > hits0, (
+    assert sharded_calls, (
         "no fill bucket took the chi-sharded path; lower the test threshold")
     for i, (a, b) in enumerate(zip(ref._B, out._B)):
         dev = float(jnp.abs(jnp.asarray(a) - jnp.asarray(b)).max())
