@@ -769,6 +769,31 @@ def _pad_nambu_modes(V: np.ndarray, n_b: int) -> np.ndarray:
     return out
 
 
+@partial(jax.jit, static_argnames=("L", "min_SV"))
+def _assemble_N_complex(Vr, j1, j2, *, L, min_SV):
+    """Fused complex-path N assembly + Onishi norm with a det-based
+    vacuum-overlap guard (production mode; the checked path computes the
+    full singular spectrum on the host instead).  |det U| = prod of U's
+    singular values, so |det| < min_SV**L proves a near-singular U block;
+    the norm is then poisoned with NaN, mirroring the split-plane path."""
+    from .ops.linalg import gauss_inverse, lu_det
+
+    det = lu_det(Vr[None, :L, :L])[0]
+    absdet = jnp.abs(det)
+    thresh = max(float(min_SV) ** L, 1e-300)
+    bad = ~jnp.isfinite(absdet) | (absdet < thresh)
+    norm = jnp.where(bad, jnp.nan, absdet**0.5)
+
+    Uxinv = gauss_inverse(Vr[L:, L:])
+    AA = Vr[j1, L:] @ Uxinv[:, j1]  # M = V* inv(U*)
+    BA = Uxinv[j2[:, None], j1[None, :]]
+    BB = Uxinv[j2, :] @ Vr[L:, j2]
+    AA = (AA - AA.T) / 2
+    BB = (BB - BB.T) / 2
+    N = jnp.block([[BB, BA], [-BA.T, AA]])
+    return norm, N
+
+
 def _pfaffian_matrix(V1, V2, sets1, sets2, *, mode, tolerance=1e-8, min_SV=1e-6):
     """Precomputes the antisymmetric matrix N whose principal-submatrix
     Pfaffians are the Bogoliubov-excitation overlaps, plus the normalised
@@ -872,39 +897,50 @@ def _pfaffian_matrix(V1, V2, sets1, sets2, *, mode, tolerance=1e-8, min_SV=1e-6)
         return norm, N, new_sets1, new_sets2, k2_b
 
     Vr = HT(jnp.asarray(V1)) @ jnp.asarray(V2)  # V1 is unitary
-    Vr_host = np.asarray(Vr)
-    assert_allclose(
-        Vr_host[:L, :L].conj(), Vr_host[L:, L:], rtol=0, atol=tolerance,
-        err_msg=nambu_err,
-    )
-    assert_allclose(
-        Vr_host[:L, L:].conj(), Vr_host[L:, :L], rtol=0, atol=tolerance,
-        err_msg=nambu_err,
-    )
-
-    s = np.linalg.svd(Vr_host[:L, :L], compute_uv=False)
-    logger.info("Bogoliubov vacuum overlap: %.3e", s.prod())
-    assert_array_less(
-        min_SV, s, err_msg="Bogoliubov vacua do not overlap (U nearly singular)"
-    )
-    norm = s.prod() ** 0.5
-
-    Uxinv = gauss_inverse(Vr[L:, L:])  # TPU-safe (no LuDecomposition)
     j1 = jnp.asarray(idx1, dtype=jnp.int32)
     j2 = jnp.asarray(idx2, dtype=jnp.int32)
 
-    AA = Vr[j1, L:] @ Uxinv[:, j1]  # M = V* inv(U*)
-    BA = Uxinv[j2[:, None], j1[None, :]]
-    BB = Uxinv[j2, :] @ Vr[L:, j2]
+    if checked:
+        Vr_host = np.asarray(Vr)
+        assert_allclose(
+            Vr_host[:L, :L].conj(), Vr_host[L:, L:], rtol=0, atol=tolerance,
+            err_msg=nambu_err,
+        )
+        assert_allclose(
+            Vr_host[:L, L:].conj(), Vr_host[L:, :L], rtol=0, atol=tolerance,
+            err_msg=nambu_err,
+        )
 
-    AA_host = np.asarray(AA)
-    BB_host = np.asarray(BB)
-    assert_allclose(AA_host, -AA_host.T, rtol=0, atol=tolerance, err_msg=nambu_err)
-    assert_allclose(BB_host, -BB_host.T, rtol=0, atol=tolerance, err_msg=nambu_err)
-    AA = (AA - AA.T) / 2
-    BB = (BB - BB.T) / 2
+        s = np.linalg.svd(Vr_host[:L, :L], compute_uv=False)
+        logger.info("Bogoliubov vacuum overlap: %.3e", s.prod())
+        assert_array_less(
+            min_SV, s,
+            err_msg="Bogoliubov vacua do not overlap (U nearly singular)",
+        )
+        norm = s.prod() ** 0.5
 
-    N = jnp.block([[BB, BA], [-BA.T, AA]])
+        Uxinv = gauss_inverse(Vr[L:, L:])  # TPU-safe (no LuDecomposition)
+        AA = Vr[j1, L:] @ Uxinv[:, j1]  # M = V* inv(U*)
+        BA = Uxinv[j2[:, None], j1[None, :]]
+        BB = Uxinv[j2, :] @ Vr[L:, j2]
+
+        AA_host = np.asarray(AA)
+        BB_host = np.asarray(BB)
+        assert_allclose(AA_host, -AA_host.T, rtol=0, atol=tolerance,
+                        err_msg=nambu_err)
+        assert_allclose(BB_host, -BB_host.T, rtol=0, atol=tolerance,
+                        err_msg=nambu_err)
+        AA = (AA - AA.T) / 2
+        BB = (BB - BB.T) / 2
+
+        N = jnp.block([[BB, BA], [-BA.T, AA]])
+    else:
+        # production mode: the whole N assembly and the det-based norm
+        # guard run in one jitted kernel per (k1, k2, L) shape — the
+        # eager variant cost ~10 dispatches and an (2L, 2L) download per
+        # site (the Kitaev aux config spent half its time here)
+        norm, N = _assemble_N_complex(Vr, j1, j2, L=L,
+                                      min_SV=float(min_SV))
 
     split = sets2.shape[1]
     new_sets1 = np.concatenate(
@@ -1089,6 +1125,14 @@ class MPSTensorData:
 
         width = int((cnt_bra.max(initial=0) + cnt_ket.max(initial=0)))
         width = max(4, -(-width // 4) * 4)  # bucketed, even
+
+        # adaptive chunk: every extra chunk is a dispatch round trip plus a
+        # device concatenate; raise the chunk until the (chunk, 2w, 2w)
+        # gather/LU temps reach ~0.5 GB (a few temps live at once; the v5e
+        # has 16 GB HBM).  Never lower below the caller's value.
+        if pf_chunk is not None:
+            w_aug = 2 * width  # gathered submatrix edge incl. J-padding
+            pf_chunk = max(pf_chunk, int(5e8 // max(w_aug * w_aug * 8, 1)))
 
         # positions of excitations (within N's index space) per row
         def positions(sets, w):

@@ -333,3 +333,21 @@ def test_packed_pair_pfaffians_match_index_path():
         )
         assert float(jnp.max(jnp.abs(vr0 - vr1))) == 0.0
         assert float(jnp.max(jnp.abs(vi0 - vi1))) == 0.0
+
+
+def test_unchecked_complex_assembly_matches_checked(monkeypatch):
+    """TEST_ACTION='pass' routes the complex N assembly through the fused
+    jitted kernel (det-based norm guard); the MPS must match the checked
+    path to numerical precision."""
+    from temfpy_tpu import testing as tst
+
+    rng = np.random.default_rng(21)
+    L = 6
+    A = rng.normal(size=(2 * L, 2 * L))
+    H = 1j * (A - A.T)
+    mps_checked = pfaffian.H_to_MPS(H, {"chi_max": 64}, basis="M")
+    monkeypatch.setattr(tst, "TEST_ACTION", "pass")
+    mps_fast = pfaffian.H_to_MPS(H, {"chi_max": 64}, basis="M")
+    assert abs(abs(mps_checked.overlap(mps_fast)) - 1) < 1e-10
+    for a, b in zip(mps_checked._B, mps_fast._B):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-10
