@@ -710,6 +710,13 @@ def _swap_paying_off() -> bool:
     return not (c >= 8 and 2 * f > c)
 
 
+def _w4_grid() -> bool:
+    """Opt-in ceil-to-4 determinant width grid (TEMFPY_TPU_DET_W4=1)."""
+    import os
+
+    return os.environ.get("TEMFPY_TPU_DET_W4", "0") == "1"
+
+
 def _bucket_shape(shape: tuple) -> tuple:
     """Rounds the chi dimensions of a scatter-target shape up to powers of
     two >= 64 (physical dims <= 4 kept): the dense-tensor shape is a STATIC
@@ -1115,11 +1122,13 @@ class MPSTensorData:
             if not (rows.size and cols.size):
                 continue
             c = int(c)
-            # multiple-of-4 width grid: the padded LU costs (w_b/c)^3, so
-            # the previous ceil-to-8 grid wasted up to 5.6x flops at c=9
-            # (w_b=16); ceil-to-4 caps the waste at ~2.4x for one or two
-            # extra executable families per conversion
-            w_b = 4 if c <= 4 else -(-c // 4) * 4
+            # width grid: the padded LU costs (w_b/c)^3 in flops on CPU,
+            # but on TPU the sublane tiling pads w to multiples of 8
+            # anyway, so a ceil-to-4 grid only shortens the LU step count
+            # (~25% for c in {9..12}) while adding executable families to
+            # the cold compile.  Opt-in until measured on hardware.
+            grid = 4 if _w4_grid() else 8
+            w_b = 4 if c <= 4 else -(-c // grid) * grid
             if not (use_swap and c > 4 and rows.size * cols.size >= 64):
                 r_l, c_l = direct.setdefault(w_b, ([], []))
                 r_l.append(np.repeat(rows, cols.size))
