@@ -283,7 +283,34 @@ def main():
                 H[idx(x, y), idx(x, y + 1)] = H[idx(x, y + 1), idx(x, y)] = -1.0
     H -= 0.05 * np.eye(L)  # break particle-hole degeneracy slightly
 
+    # backend-init watchdog: a wedged TPU tunnel hangs jax.devices()
+    # forever with ~0 CPU (BASELINE.md round-3 notes); emit the JSON
+    # contract line and die instead of hanging the driver.
+    import threading
+
+    backend_ready = threading.Event()
+
+    def _watchdog():
+        if not backend_ready.wait(timeout=300):
+            print(
+                json.dumps(
+                    {
+                        "metric": f"slater_to_mps_L{L}_chi{chi}_seconds",
+                        "value": None,
+                        "unit": "s",
+                        "vs_baseline": None,
+                        "error": "backend init timed out (wedged TPU tunnel?)",
+                    }
+                ),
+                flush=True,
+            )
+            import os
+
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
     dev = jax.devices()[0]
+    backend_ready.set()
     if args.verbose:
         print(f"device: {dev}", file=sys.stderr)
 
