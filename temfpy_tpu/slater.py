@@ -1832,6 +1832,10 @@ def build_site_tensors(pairs):
 
     det_of = [None] * n
     som_of = [None] * n
+    # site -> (stacked som, stacked det, row) of its overlap group, so the
+    # fill groups can gather their (G, ...) operand stacks with one device
+    # op instead of G slices + a re-stack (the det_stack stage)
+    group_of = [None] * n
     _ov = profiling.stage("fill/overlap_groups")
     _ov.__enter__()
     for key, idxs in overlap_groups.items():
@@ -1857,6 +1861,8 @@ def build_site_tensors(pairs):
                 det_of[i] = g
             for g, i in zip(_unstack(som_s), idxs):
                 som_of[i] = g
+            for row, i in enumerate(idxs):
+                group_of[i] = (som_s, det_s, row)
 
     _ov.__exit__(None, None, None)
 
@@ -1946,8 +1952,23 @@ def build_site_tensors(pairs):
             _accumulate(i, T)
         else:
             with profiling.stage("fill/det_stack"):
-                M = jnp.stack([datas[i].sometimes_matrix for i, _ in entries])
-                det = jnp.stack([datas[i].det_always for i, _ in entries])
+                srcs = {id(group_of[i][0]) if group_of[i] else None
+                        for i, _ in entries}
+                if len(srcs) == 1 and group_of[entries[0][0]] is not None:
+                    # all sites share one overlap-group stack: gather
+                    som_s, det_s, _ = group_of[entries[0][0]]
+                    rows_ = jnp.asarray(
+                        [group_of[i][2] for i, _ in entries], jnp.int32
+                    )
+                    M = som_s[rows_]
+                    det = det_s[rows_]
+                else:
+                    M = jnp.stack(
+                        [datas[i].sometimes_matrix for i, _ in entries]
+                    )
+                    det = jnp.stack(
+                        [datas[i].det_always for i, _ in entries]
+                    )
                 flat = jnp.asarray(
                     np.stack([fill_plans[i][3][j]["flat"]
                               for i, j in entries])
