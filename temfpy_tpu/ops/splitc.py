@@ -159,3 +159,10 @@ def pf_overlap_kernel(V1r, V1i, V2r, V2i, j1, j2):
     Nr = jnp.block([[BBr, BAr], [-BAr.T, AAr]])
     Ni = jnp.block([[BBi, BAi], [-BAi.T, AAi]])
     return Nr, Ni, det_embed, Vrr, Vri, aa_asym, bb_asym
+
+
+pf_overlap_group = jax.jit(jax.vmap(pf_overlap_kernel))
+"""Vmapped :func:`pf_overlap_kernel` over a stack of sites sharing one
+shape bucket — the conversion drivers group per-site overlap preparations
+into one executable and one fused frame upload (dispatch latency and
+per-transfer round trips dominate the per-site variant on the tunnel)."""

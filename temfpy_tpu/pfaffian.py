@@ -794,7 +794,8 @@ def _assemble_N_complex(Vr, j1, j2, *, L, min_SV):
     return norm, N
 
 
-def _pfaffian_matrix(V1, V2, sets1, sets2, *, mode, tolerance=1e-8, min_SV=1e-6):
+def _pfaffian_matrix(V1, V2, sets1, sets2, *, mode, tolerance=1e-8, min_SV=1e-6,
+                     defer=False):
     """Precomputes the antisymmetric matrix N whose principal-submatrix
     Pfaffians are the Bogoliubov-excitation overlaps, plus the normalised
     vacuum overlap (Onishi formula); reference pfaffian.py:1258-1410.
@@ -806,7 +807,13 @@ def _pfaffian_matrix(V1, V2, sets1, sets2, *, mode, tolerance=1e-8, min_SV=1e-6)
     a device scalar.  Otherwise ``N`` is a complex device array and ``norm``
     a float.
 
-    Returns (norm, N, new_sets1, new_sets2, split)."""
+    Returns (norm, N, new_sets1, new_sets2, split).
+
+    With ``defer=True`` (split-plane production mode only) no device work
+    is dispatched; instead a dict ``{"frames": (V1pad, V2pad), "idx":
+    (j1, j2), "finish": fn(Nr, Ni, det_embed) -> result}`` is returned so
+    a driver can batch the overlap kernels of many sites into one vmapped
+    executable with one fused frame upload."""
     V1 = np.asarray(V1)
     V2 = np.asarray(V2)
     n, m = V1.shape
@@ -841,12 +848,46 @@ def _pfaffian_matrix(V1, V2, sets1, sets2, *, mode, tolerance=1e-8, min_SV=1e-6)
         k1, k2 = len(idx1), len(idx2)
         k1_b = _bucket(k1, 8)
         k2_b = _bucket(k2, 8)
-        V1p = splitc.sc_put(_pad_nambu_modes(V1, n_b))
-        V2p = splitc.sc_put(_pad_nambu_modes(V2, n_b))
         j1 = np.zeros(k1_b, np.int32)
         j1[:k1] = idx1
         j2 = np.zeros(k2_b, np.int32)
         j2[:k2] = idx2
+
+        pad1 = np.zeros((sets1.shape[0], k1_b - k1), dtype=bool)
+        pad2 = np.zeros((sets2.shape[0], k2_b - k2), dtype=bool)
+        new_sets1 = np.concatenate(
+            (np.zeros((sets1.shape[0], k2_b), dtype=bool), sets1, pad1),
+            axis=1,
+        )
+        new_sets2 = np.concatenate(
+            (sets2, pad2, np.zeros((sets2.shape[0], k1_b), dtype=bool)),
+            axis=1,
+        )
+
+        def finish(Nr, Ni, det_embed):
+            # |det U|^2 = det of the real embedding of U*; Onishi norm =
+            # prod(singular values)^{1/2} = |det U|^{1/2} (device scalar —
+            # no per-site host sync in production mode).  Guard without a
+            # host sync: prod(s) >= min_SV for every singular value implies
+            # det_embed >= min_SV^(2 n_b), so a smaller or non-finite value
+            # proves a near-singular U block — poison the norm with NaN
+            # (surfaces in the site tensors) instead of silently returning
+            # a wrong/overflowing tensor; the checked path raises instead.
+            thresh = max(float(min_SV) ** (2 * n_b), 1e-300)
+            bad = ~jnp.isfinite(det_embed) | (det_embed < thresh)
+            norm = jnp.where(bad, jnp.nan, det_embed**0.25)
+            return norm, (Nr, Ni), new_sets1, new_sets2, k2_b
+
+        if defer and not checked:
+            return {
+                "frames": (_pad_nambu_modes(V1, n_b),
+                           _pad_nambu_modes(V2, n_b)),
+                "idx": (j1, j2),
+                "finish": finish,
+            }
+
+        V1p = splitc.sc_put(_pad_nambu_modes(V1, n_b))
+        V2p = splitc.sc_put(_pad_nambu_modes(V2, n_b))
         Nr, Ni, det_embed, Vrr, Vri, aa_asym, bb_asym = splitc.pf_overlap_kernel(
             V1p[0], V1p[1], V2p[0], V2p[1], jnp.asarray(j1), jnp.asarray(j2)
         )
@@ -873,28 +914,8 @@ def _pfaffian_matrix(V1, V2, sets1, sets2, *, mode, tolerance=1e-8, min_SV=1e-6)
                 float(bb_asym), tolerance, err_msg=nambu_err
             )
             norm = s.prod() ** 0.5
-        else:
-            # |det U|^2 = det of the real embedding of U*; Onishi norm =
-            # prod(singular values)^{1/2} = |det U|^{1/2} (device scalar —
-            # no per-site host sync in production mode).  Guard without a
-            # host sync: prod(s) >= min_SV for every singular value implies
-            # det_embed >= min_SV^(2 n_b), so a smaller or non-finite value
-            # proves a near-singular U block — poison the norm with NaN
-            # (surfaces in the site tensors) instead of silently returning
-            # a wrong/overflowing tensor; the checked path raises instead.
-            thresh = max(float(min_SV) ** (2 * n_b), 1e-300)
-            bad = ~jnp.isfinite(det_embed) | (det_embed < thresh)
-            norm = jnp.where(bad, jnp.nan, det_embed**0.25)
-        N = (Nr, Ni)
-        pad1 = np.zeros((sets1.shape[0], k1_b - k1), dtype=bool)
-        pad2 = np.zeros((sets2.shape[0], k2_b - k2), dtype=bool)
-        new_sets1 = np.concatenate(
-            (np.zeros((sets1.shape[0], k2_b), dtype=bool), sets1, pad1), axis=1
-        )
-        new_sets2 = np.concatenate(
-            (sets2, pad2, np.zeros((sets2.shape[0], k1_b), dtype=bool)), axis=1
-        )
-        return norm, N, new_sets1, new_sets2, k2_b
+            return norm, (Nr, Ni), new_sets1, new_sets2, k2_b
+        return finish(Nr, Ni, det_embed)
 
     Vr = HT(jnp.asarray(V1)) @ jnp.asarray(V2)  # V1 is unitary
     j1 = jnp.asarray(idx1, dtype=jnp.int32)
@@ -980,6 +1001,7 @@ class MPSTensorData:
         *,
         nambu_tolerance: float = 1e-8,
         min_SV: float = 1e-6,
+        defer: bool = False,
     ) -> "MPSTensorData":
         mode = mode.lower()
         if mode not in ("left", "right"):
@@ -1087,7 +1109,7 @@ class MPSTensorData:
                 sets_bra = sets_bra.copy()
                 sets_bra[:, 0] = ~sets_bra[:, 0]
 
-        norm, N, new_sets_bra, new_sets_ket, _split = _pfaffian_matrix(
+        res = _pfaffian_matrix(
             v_bra,
             v_ket,
             sets_bra,
@@ -1095,21 +1117,31 @@ class MPSTensorData:
             mode=mode,
             tolerance=nambu_tolerance,
             min_SV=min_SV,
+            defer=defer,
         )
 
-        return cls(
-            mode=mode,
-            physical_leg=physical,
-            norm=norm if not isinstance(norm, (float, np.floating)) else float(norm),
-            pfaffian_matrix=N,
-            sets_bra=new_sets_bra,
-            sets_ket=new_sets_ket,
-            bra_beta=bra_beta,
-            bra_phys=bra_phys,
-            q_bra=q_bra,
-            q_ket=q_ket,
-            qtotal=int(qtotal),
-        )
+        def build(res_tuple):
+            norm, N, new_sets_bra, new_sets_ket, _split = res_tuple
+            return cls(
+                mode=mode,
+                physical_leg=physical,
+                norm=(norm if not isinstance(norm, (float, np.floating))
+                      else float(norm)),
+                pfaffian_matrix=N,
+                sets_bra=new_sets_bra,
+                sets_ket=new_sets_ket,
+                bra_beta=bra_beta,
+                bra_phys=bra_phys,
+                q_bra=q_bra,
+                q_ket=q_ket,
+                qtotal=int(qtotal),
+            )
+
+        if isinstance(res, dict):
+            fin = res["finish"]
+            res["build"] = lambda Nr, Ni, det: build(fin(Nr, Ni, det))
+            return res
+        return build(res)
 
     def _pair_values(self, pf_chunk: int | None):
         """norm * Pf(N[ix, ix]) for all parity-matching (bra, ket) pairs,
@@ -1431,16 +1463,24 @@ def _C_to_MPS_body(C, trunc_par, basis, diag_tol, ortho_center,
 
     # ---- dispatch pass: queue every site's overlap + Pfaffian batches ----
     datas = [None] * L
+    pend = []  # deferred split-plane overlap preparations, grouped below
+
+    def dispatch(i, bra, ket, mode):
+        with profiling.stage("tensor_plan"):
+            res = MPSTensorData.from_schmidt_vectors(bra, ket, mode,
+                                                     defer=True)
+            if isinstance(res, dict):
+                pend.append((i, res))
+            else:
+                datas[i] = res.queue()
+
     right_sv = modes_batched(list(range(c + 1, L + 1)), "R")
     Schmidt = Schmidt_center
     for i, Schmidt_new in zip(range(c, L), right_sv):
         logger.info("Site %d", i)
         lams[i + 1] = normalize_SV(Schmidt_new.schmidt_values, logger)
         q_bonds[i + 1] = Schmidt_new.q_parity(Schmidt_new.pL)
-        with profiling.stage("tensor_plan"):
-            datas[i] = MPSTensorData.from_schmidt_vectors(
-                Schmidt_new, Schmidt, "right"
-            ).queue()
+        dispatch(i, Schmidt_new, Schmidt, "right")
         Schmidt = Schmidt_new
 
     left_sv = modes_batched(list(range(c - 1, -1, -1)), "L")
@@ -1449,11 +1489,33 @@ def _C_to_MPS_body(C, trunc_par, basis, diag_tol, ortho_center,
         logger.info("Site %d", i)
         lams[i] = normalize_SV(Schmidt_new.schmidt_values, logger)
         q_bonds[i] = Schmidt_new.q_parity(Schmidt_new.pL)
-        with profiling.stage("tensor_plan"):
-            datas[i] = MPSTensorData.from_schmidt_vectors(
-                Schmidt_new, Schmidt, "left"
-            ).queue()
+        dispatch(i, Schmidt_new, Schmidt, "left")
         Schmidt = Schmidt_new
+
+    # grouped overlap kernels: one vmapped executable + one fused frame
+    # upload per shape bucket instead of 4 uploads + 1 dispatch per site
+    # (both round-trip-bound over the TPU tunnel)
+    if pend:
+        with profiling.stage("tensor_plan"):
+            groups: dict = {}
+            for i, p in pend:
+                key = (p["frames"][0].shape, len(p["idx"][0]),
+                       len(p["idx"][1]))
+                groups.setdefault(key, []).append((i, p))
+            for items in groups.values():
+                V1 = np.stack([p["frames"][0] for _, p in items])
+                V2 = np.stack([p["frames"][1] for _, p in items])
+                planes = [
+                    jnp.asarray(np.ascontiguousarray(a))
+                    for a in (V1.real, V1.imag, V2.real, V2.imag)
+                ]
+                J1 = jnp.asarray(np.stack([p["idx"][0] for _, p in items]))
+                J2 = jnp.asarray(np.stack([p["idx"][1] for _, p in items]))
+                Nr_s, Ni_s, det_s, *_ = splitc.pf_overlap_group(
+                    *planes, J1, J2
+                )
+                for t, (i, p) in enumerate(items):
+                    datas[i] = p["build"](Nr_s[t], Ni_s[t], det_s[t]).queue()
 
     # ---- materialisation pass: one fused download, then host scatters ----
     with profiling.stage("tensor_fill"):

@@ -351,3 +351,19 @@ def test_unchecked_complex_assembly_matches_checked(monkeypatch):
     assert abs(abs(mps_checked.overlap(mps_fast)) - 1) < 1e-10
     for a, b in zip(mps_checked._B, mps_fast._B):
         assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-10
+
+
+def test_grouped_overlap_split_production(monkeypatch):
+    """Production mode + split planes routes the per-site overlap kernels
+    through the grouped (vmapped, fused-upload) dispatch; fidelity and
+    norm must be unaffected."""
+    from temfpy_tpu import testing as tst
+
+    monkeypatch.setenv("TEMFPY_TPU_DEVICE_COMPLEX", "0")
+    monkeypatch.setattr(tst, "TEST_ACTION", "pass")
+    L = 6
+    H, h, D = kitaev_H_C(L, mu=0.5)
+    mps = pfaffian.H_to_MPS(H, {"chi_max": 64}, basis="C")
+    f = oracles.fidelity(exact_bdg_ground_state(L, h, D), mps.to_statevector())
+    assert f > 1 - 1e-9, f"fidelity {f}"
+    assert abs(mps.norm_squared() - 1) < 1e-9
