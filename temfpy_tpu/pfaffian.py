@@ -1441,22 +1441,41 @@ def _C_to_MPS_body(C, trunc_par, basis, diag_tol, ortho_center,
 
     def modes_batched(cuts, which):
         sizes = [2 * x if which == "L" else 2 * (L - x) for x in cuts]
-        with profiling.stage("eigh_batch"):
-            e_all, v_all = eigh_blocks(C, sizes, which, chunk=eigh_chunk)
-            e_host = np.asarray(e_all)
+        C_h = np.asarray(C) if isinstance(C, np.ndarray) else None
+        if C_h is not None and not complex_on_device():
+            # host LAPACK without the padded (n, 2L, 2L) cube: the cube's
+            # allocation + per-cut copies cost ~1 s at L=128 and every
+            # consumer slices the block back out anyway
+            def block_eigh(i):
+                size = sizes[i]
+                blk = (C_h[:size, :size] if which == "L"
+                       else C_h[2 * L - size :, 2 * L - size :])
+                return np.linalg.eigh(blk)
+            e_list, v_list = [None] * len(cuts), [None] * len(cuts)
+            with profiling.stage("eigh_batch"):
+                for i in range(len(cuts)):
+                    e_list[i], v_list[i] = block_eigh(i)
+            getters = (lambda i: e_list[i]), (lambda i: v_list[i])
+        else:
+            with profiling.stage("eigh_batch"):
+                e_all, v_all = eigh_blocks(C, sizes, which, chunk=eigh_chunk)
+                e_host = np.asarray(e_all)
+            getters = (
+                (lambda i: e_host[i, : sizes[i]]),
+                (lambda i: v_all[i, : sizes[i], : sizes[i]] if which == "L"
+                 else v_all[i, 2 * cuts[i] :, : sizes[i]]),
+            )
+        get_e, get_v = getters
         out = []
         for i, x in enumerate(cuts):
-            size = sizes[i]
             kw = dict(diag_tol=diag_tol, total_parity=total_parity)
             if which == "L":
                 modes = SchmidtModes.from_eigh_majorana(
-                    C, x, trunc_par, eL=e_host[i, :size],
-                    vL_raw=v_all[i, :size, :size], **kw,
+                    C, x, trunc_par, eL=get_e(i), vL_raw=get_v(i), **kw,
                 )
             else:
                 modes = SchmidtModes.from_eigh_majorana(
-                    C, x, trunc_par, eR=e_host[i, :size],
-                    vR_raw=v_all[i, 2 * x :, :size], **kw,
+                    C, x, trunc_par, eR=get_e(i), vR_raw=get_v(i), **kw,
                 )
             out.append(SchmidtVectors.from_schmidt_modes(modes, trunc_par))
         return out
