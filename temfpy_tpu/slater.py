@@ -905,50 +905,6 @@ def _det_fill_fused_group(M, det, flat, *, ob_shape, ok_shape, P_b, shape,
     return jax.vmap(f)(M, det, flat)
 
 
-@lru_cache(maxsize=None)
-def _sharded_fused_fill(mesh, group: bool, ndim: int):
-    """chi-sharded fused fill: the output tensor's leading bond axis is
-    sharded over the mesh "cuts" axis, so bucketed site tensors at
-    chi >= config.CHI_SHARD_MIN never materialise replicated on every chip
-    (BASELINE config 5 / SURVEY §5.8); GSPMD partitions the scatter by
-    output slot and all-reduces the determinant batch contributions."""
-    from jax.sharding import NamedSharding, PartitionSpec
-
-    lead = (None, "cuts") if group else ("cuts",)
-    out = NamedSharding(mesh, PartitionSpec(*lead, *[None] * (ndim - 1)))
-
-    if group:
-        def f(M, det, flat, *, ob_shape, ok_shape, P_b, shape, spec):
-            def g(M_i, det_i, flat_i):
-                args = _split_packed_flat(flat_i, ob_shape, ok_shape, P_b,
-                                          spec)
-                return _det_fill_packed_impl(M_i, det_i, *args, shape=shape,
-                                             spec=spec)
-
-            return jax.vmap(g)(M, det, flat)
-    else:
-        def f(M, det, flat, *, ob_shape, ok_shape, P_b, shape, spec):
-            args = _split_packed_flat(flat, ob_shape, ok_shape, P_b, spec)
-            return _det_fill_packed_impl(M, det, *args, shape=shape,
-                                         spec=spec)
-
-    return partial(
-        jax.jit,
-        static_argnames=("ob_shape", "ok_shape", "P_b", "shape", "spec"),
-        out_shardings=out,
-    )(f)
-
-
-def _fused_fill_kernel(shape_b, group: bool):
-    """The fused fill executable for this bucket: chi-sharded over the
-    active mesh when the leading bond axis is large enough to pay for the
-    collectives, plain single-device jit otherwise."""
-    mesh = _chi_shard_mesh(shape_b)
-    if mesh is not None:
-        return _sharded_fused_fill(mesh, group, len(shape_b))
-    return _det_fill_fused_group if group else _det_fill_fused_kernel
-
-
 def _chi_shard_mesh(shape_b):
     """The active mesh if this bucket's leading bond axis should be
     chi-sharded over its "cuts" axis (axis divides the bucket and the bond
@@ -1944,7 +1900,7 @@ def build_site_tensors(pairs):
             with profiling.stage("fill/det_stack"):
                 flat = jnp.asarray(plan["flat"])
             with profiling.stage("fill/det_dispatch"):
-                T = _fused_fill_kernel(shape_b, group=False)(
+                T = _det_fill_fused_kernel(
                     datas[i].sometimes_matrix, datas[i].det_always, flat,
                     ob_shape=ob_shape, ok_shape=ok_shape, P_b=P_b,
                     shape=shape_b, spec=spec,
@@ -1974,7 +1930,7 @@ def build_site_tensors(pairs):
                               for i, j in entries])
                 )
             with profiling.stage("fill/det_dispatch"):
-                T_s = _fused_fill_kernel(shape_b, group=True)(
+                T_s = _det_fill_fused_group(
                     M, det, flat, ob_shape=ob_shape, ok_shape=ok_shape,
                     P_b=P_b, shape=shape_b, spec=spec,
                 )
