@@ -19,7 +19,7 @@ playing the role pfapack plays for the reference) lives in
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import numpy as np
 
@@ -365,9 +365,8 @@ def _derive_pair_indices(pos_b, pos_k, cnt_b, cnt_k, pr, pc, width, m):
     return idx.astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("width", "m", "pad_slots", "shapes"))
-def _pf_pairs_packed_split_impl(Nr, Ni, flat, *, width, m, pad_slots,
-                                shapes):
+def _pf_pairs_packed_split_fn(Nr, Ni, flat, *, width, m, pad_slots,
+                              shapes):
     """Packed split-complex pair Pfaffians: all int32 plan fields arrive in
     ONE flat buffer (pos_b, pos_k, cnt_b, cnt_k, pr, pc concatenated) —
     uploads over the TPU tunnel pay a per-transfer round trip, and the
@@ -395,6 +394,27 @@ def _pf_pairs_packed_split_impl(Nr, Ni, flat, *, width, m, pad_slots,
     )
 
 
+_pf_pairs_packed_split_impl = partial(
+    jax.jit, static_argnames=("width", "m", "pad_slots", "shapes")
+)(_pf_pairs_packed_split_fn)
+
+
+@lru_cache(maxsize=None)
+def _pf_pairs_packed_split_sharded(mesh):
+    """Mesh variant: the output Pfaffian vectors shard over the "pairs"
+    axis, so GSPMD partitions the per-pair gather/LU work across chips
+    (the plan buffer itself stays fused/replicated — only O(chi*w + P)
+    int32s)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    out = NamedSharding(mesh, PartitionSpec("pairs"))
+    return partial(
+        jax.jit,
+        static_argnames=("width", "m", "pad_slots", "shapes"),
+        out_shardings=(out, out),
+    )(_pf_pairs_packed_split_fn)
+
+
 def batched_pfaffian_pairs_packed_split(
     Nr, Ni, pos_b, pos_k, cnt_b, cnt_k, pr, pc,
     width: int, pad_slots: int, chunk: int | None = None,
@@ -411,10 +431,18 @@ def batched_pfaffian_pairs_packed_split(
         return one, jnp.zeros_like(one)
     assert width % 2 == 0, "total index count per row must be even"
     m = Nr.shape[-1]
-    from ..parallel.mesh import replicate
+    from ..parallel.mesh import active_mesh, replicate
 
     Nr = replicate(Nr)
     Ni = replicate(Ni)
+    mesh = active_mesh()
+    impl = _pf_pairs_packed_split_impl
+    if mesh is not None:
+        n_ax = mesh.shape.get("pairs", 1)
+        if n_ax > 1 and len(pr) % n_ax == 0 and (
+            chunk is None or chunk % n_ax == 0
+        ):
+            impl = _pf_pairs_packed_split_sharded(mesh)
     shapes_head = (pos_b.shape, pos_k.shape)
     head = [
         np.asarray(pos_b, np.int32).ravel(), np.asarray(pos_k, np.int32).ravel(),
@@ -429,7 +457,7 @@ def batched_pfaffian_pairs_packed_split(
         pr_c, pc_c = pr[i : i + step], pc[i : i + step]
         flat = jnp.asarray(np.concatenate(head + [pr_c, pc_c]))
         outs.append(
-            _pf_pairs_packed_split_impl(
+            impl(
                 Nr, Ni, flat, width=width, m=m, pad_slots=pad_slots,
                 shapes=shapes_head + (len(pr_c),),
             )

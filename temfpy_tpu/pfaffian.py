@@ -48,7 +48,6 @@ from .ops.linalg import (
 from .ops.pfaffian import (
     batched_pfaffian_pairs,
     batched_pfaffian_pairs_packed_split,
-    batched_pfaffian_pairs_split,
 )
 from .schmidt_utils import lowest_sums, to_stopping_condition
 from . import profiling, testing
@@ -1159,21 +1158,23 @@ class MPSTensorData:
         width = max(4, -(-width // 4) * 4)  # bucketed, even
 
         # adaptive chunk: every extra chunk is a dispatch round trip plus a
-        # device concatenate; raise the chunk until the (chunk, 2w, 2w)
-        # gather/LU temps reach ~0.5 GB (a few temps live at once; the v5e
-        # has 16 GB HBM).  Never lower below the caller's value.
+        # device concatenate; raise the chunk until the (chunk, w, w)
+        # gather/LU temps reach ~0.5 GB.  The per-pair footprint accounts
+        # for the (8, 128) TPU tile padding of the minor dims (a (chunk,
+        # w, w) f64 batch occupies w * max(w, 128) * 8 bytes per pair); a
+        # few temps live at once and the v5e has 16 GB HBM.  Never lower
+        # below the caller's value.
         if pf_chunk is not None:
-            w_aug = 2 * width  # gathered submatrix edge incl. J-padding
-            pf_chunk = max(pf_chunk, int(5e8 // max(w_aug * w_aug * 8, 1)))
+            per_pair = width * max(width, 128) * 8
+            pf_chunk = max(pf_chunk, int(5e8 // per_pair))
 
         # positions of excitations (within N's index space) per row
-        def positions(sets, w):
-            ns, mm = sets.shape
-            order = np.argsort(~sets, axis=1, kind="stable")
-            return order, sets.sum(axis=1)
+        def positions(sets):
+            # occupied-slot indices first, in ascending order
+            return np.argsort(~sets, axis=1, kind="stable")
 
-        pos_bra, _ = positions(self.sets_bra, width)
-        pos_ket, _ = positions(self.sets_ket, width)
+        pos_bra = positions(self.sets_bra)
+        pos_ket = positions(self.sets_ket)
 
         # parity-matching pairs
         par_bra = cnt_bra % 2
@@ -1521,20 +1522,33 @@ def _C_to_MPS_body(C, trunc_par, basis, diag_tol, ortho_center,
                 key = (p["frames"][0].shape, len(p["idx"][0]),
                        len(p["idx"][1]))
                 groups.setdefault(key, []).append((i, p))
-            for items in groups.values():
-                V1 = np.stack([p["frames"][0] for _, p in items])
-                V2 = np.stack([p["frames"][1] for _, p in items])
-                planes = [
-                    jnp.asarray(np.ascontiguousarray(a))
-                    for a in (V1.real, V1.imag, V2.real, V2.imag)
-                ]
-                J1 = jnp.asarray(np.stack([p["idx"][0] for _, p in items]))
-                J2 = jnp.asarray(np.stack([p["idx"][1] for _, p in items]))
-                Nr_s, Ni_s, det_s, *_ = splitc.pf_overlap_group(
-                    *planes, J1, J2
-                )
-                for t, (i, p) in enumerate(items):
-                    datas[i] = p["build"](Nr_s[t], Ni_s[t], det_s[t]).queue()
+            for items_all in groups.values():
+                # cap the group by its resident frame footprint (4 f64
+                # planes of (2n_b, 2n_b) per site; the v5e has 16 GB HBM)
+                frame = items_all[0][1]["frames"][0]
+                per_site = 4 * frame.size * 8
+                g_max = max(1, int(2.5e9 // per_site))
+                for g0 in range(0, len(items_all), g_max):
+                    items = items_all[g0 : g0 + g_max]
+                    V1 = np.stack([p["frames"][0] for _, p in items])
+                    V2 = np.stack([p["frames"][1] for _, p in items])
+                    planes = [
+                        jnp.asarray(np.ascontiguousarray(a))
+                        for a in (V1.real, V1.imag, V2.real, V2.imag)
+                    ]
+                    J1 = jnp.asarray(
+                        np.stack([p["idx"][0] for _, p in items])
+                    )
+                    J2 = jnp.asarray(
+                        np.stack([p["idx"][1] for _, p in items])
+                    )
+                    Nr_s, Ni_s, det_s, *_ = splitc.pf_overlap_group(
+                        *planes, J1, J2
+                    )
+                    for t, (i, p) in enumerate(items):
+                        datas[i] = p["build"](
+                            Nr_s[t], Ni_s[t], det_s[t]
+                        ).queue()
 
     # ---- materialisation pass: one fused download, then host scatters ----
     with profiling.stage("tensor_fill"):

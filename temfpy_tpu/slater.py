@@ -696,17 +696,27 @@ def _use_det_updates() -> bool:
 # rank-update classes fail the cross-check and recompute through the direct
 # path — the swap work is then pure overhead (measured 3.7 s vs 2.0 s
 # swap-off on the pi-flux config).  Once fallbacks dominate, later sites of
-# the SAME conversion stop planning swap classes.
-_SWAP_STATS = {"classes": 0, "fallbacks": 0}
+# the SAME conversion stop planning swap classes.  Thread-local and reset
+# per conversion, so standalone fills and concurrent conversions do not
+# inherit a previous conversion's verdict.
+import threading as _threading  # noqa: E402
+
+_swap_tls = _threading.local()
+
+
+def _swap_stats() -> dict:
+    if not hasattr(_swap_tls, "stats"):
+        _swap_tls.stats = {"classes": 0, "fallbacks": 0}
+    return _swap_tls.stats
 
 
 def _reset_swap_stats():
-    _SWAP_STATS["classes"] = 0
-    _SWAP_STATS["fallbacks"] = 0
+    _swap_tls.stats = {"classes": 0, "fallbacks": 0}
 
 
 def _swap_paying_off() -> bool:
-    c, f = _SWAP_STATS["classes"], _SWAP_STATS["fallbacks"]
+    st = _swap_stats()
+    c, f = st["classes"], st["fallbacks"]
     return not (c >= 8 and 2 * f > c)
 
 
@@ -1476,9 +1486,10 @@ class MPSTensorData:
                 np.all(np.abs(a - d) <= 1e-8 * scale + 1e-8 * np.abs(d))
                 for a, d in pairs
             )
-            _SWAP_STATS["classes"] += 1
+            st = _swap_stats()
+            st["classes"] += 1
             if not ok:
-                _SWAP_STATS["fallbacks"] += 1
+                st["fallbacks"] += 1
 
             if ok:
                 for p in ce["parts"]:
@@ -1983,7 +1994,7 @@ def build_site_tensors(pairs):
     if entries:
         D0_flat = np.asarray(jnp.stack([e["tables"][0] for e in entries]))
         for e, d0 in zip(entries, D0_flat):
-            e["forced"] = bool(abs(float(d0)) < 1e-12)
+            e["forced"] = bool(float(abs(d0)) < 1e-12)
 
     # stage B: per-bucket determinant batches + check oracles, chunked
     subs = []

@@ -132,3 +132,30 @@ def test_chi_sharded_fill_bit_identical(monkeypatch):
         assert dev == 0.0, f"site {i} deviates by {dev}"
     for sa, sb in zip(ref._S, out._S):
         np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
+
+
+@needs_multi
+def test_mesh_pfaffian_split_bit_identical(monkeypatch):
+    """Split-plane Pfaffian conversion under use_mesh (pairs-sharded packed
+    Pfaffian batches) is bit-identical to single-device."""
+    from temfpy_tpu import pfaffian, testing as tst
+
+    monkeypatch.setenv("TEMFPY_TPU_DEVICE_COMPLEX", "0")
+    monkeypatch.setattr(tst, "TEST_ACTION", "pass")
+    L = 6
+    H = np.zeros((2 * L, 2 * L), complex)
+    for i in range(L - 1):  # Kitaev chain in C basis
+        H[i, i + 1] = H[i + 1, i] = -1.0
+        H[i, L + i + 1] = 0.8
+        H[i + 1, L + i] = -0.8
+        H[L + i + 1, i] = 0.8
+        H[L + i, i + 1] = -0.8
+    for i in range(L):
+        H[i, i] = -0.5
+    H[L:, L:] = -H[:L, :L].conj()
+    ref = pfaffian.H_to_MPS(H, {"chi_max": 64}, basis="C")
+    with pmesh.use_mesh(pmesh.make_mesh()):
+        out = pfaffian.H_to_MPS(H, {"chi_max": 64}, basis="C")
+    for i, (a, b) in enumerate(zip(ref._B, out._B)):
+        dev = float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        assert dev == 0.0, f"site {i} deviates by {dev}"
