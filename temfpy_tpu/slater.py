@@ -37,6 +37,7 @@ from . import config
 from .config import DIAG_TOL as _DIAG_TOL
 from .mps import MPS, FermionSite
 from .ops.linalg import (
+    _cpu_layout,
     block_svd,
     det_swap_tables,
     eigh_blocks,
@@ -727,6 +728,23 @@ def _w4_grid() -> bool:
     return os.environ.get("TEMFPY_TPU_DET_W4", "0") == "1"
 
 
+def _swap_collapse() -> bool:
+    """Whether the rank-update plans collapse to one executable shape family
+    (pad width = full sometimes bucket, fixed 8-wide swap tables, single
+    s_b=8 bucket, site-level table rows).  Default: on for accelerator
+    layouts (remote cold compiles are the binding cost), off on CPU (local
+    compiles are cheap; tight shapes win flops).  Override with
+    TEMFPY_TPU_SWAP_COLLAPSE=0/1 (used by the CPU equivalence tests)."""
+    import os
+
+    mode = os.environ.get("TEMFPY_TPU_SWAP_COLLAPSE", "auto")
+    if mode == "1":
+        return True
+    if mode == "0":
+        return False
+    return not _cpu_layout()
+
+
 def _bucket_shape(shape: tuple) -> tuple:
     """Rounds the chi dimensions of a scatter-target shape up to powers of
     two >= 64 (physical dims <= 4 kept): the dense-tensor shape is a STATIC
@@ -1100,7 +1118,14 @@ class MPSTensorData:
                 r_l.append(np.repeat(rows, cols.size))
                 c_l.append(np.tile(cols, rows.size))
                 continue
-            swap_plan, far = self._plan_swap_class(c, w_b, rows, cols, m, shape)
+            # accelerator layouts pad the swap plan to the full sometimes
+            # bucket m: ONE (M_aug, tables, check) shape family serves every
+            # class of a site group, collapsing the per-(class, bucket)
+            # executable zoo that cold-compile-blocked the TPU at L=256
+            # (BASELINE.md round-3 negative result).  CPU keeps the tight
+            # per-class width (local compiles are cheap; flops are not).
+            swap_w = m if _swap_collapse() else w_b
+            swap_plan, far = self._plan_swap_class(c, swap_w, rows, cols, m, shape)
             if swap_plan is not None:
                 plans.append(swap_plan)
             if far is not None:
@@ -1263,6 +1288,27 @@ class MPSTensorData:
         ok_r, a_r, rin_r, rout_r, rpos_r, sign_r = side_arrays(sets_b)
         ok_c, a_c, rin_c, rout_c, rpos_c, sign_c = side_arrays(sets_k)
 
+        # executable-family collapse on accelerator layouts: pad the swap
+        # tables to a fixed width 8 with neutral self-swap columns
+        # (rin == rout leaves an identity row in S, so padded slots are
+        # exact no-ops) and run ONE s_b = 8 bucket for all near pairs —
+        # flop waste on low-swap pairs in exchange for a single remotely
+        # compiled executable family (the round-3 cold-compile blocker).
+        collapse = _swap_collapse()
+        SW = 8 if collapse else W
+        if SW > W:
+            def pad8(arr, fill):
+                ext = np.broadcast_to(fill, (len(arr), SW - W))
+                return np.concatenate([arr, ext], axis=1).astype(np.int32)
+
+            b0 = np.int32(base[0])
+            rin_r = pad8(rin_r, b0)
+            rout_r = pad8(rout_r, b0)
+            rpos_r = pad8(rpos_r, np.int32(0))
+            rin_c = pad8(rin_c, b0)
+            rout_c = pad8(rout_c, b0)
+            rpos_c = pad8(rpos_c, np.int32(0))
+
         # pair buckets by s_b = bucket(max(a_row, b_col)); far pairs (either
         # side over W) go to the direct path
         ab_r = np.array([_bucket_swaps(int(a)) or 99 for a in a_r])
@@ -1271,6 +1317,8 @@ class MPSTensorData:
         ab_c = np.where(ok_c, np.minimum(ab_c, 99), 99)
         sq = np.maximum(ab_r[:, None], ab_c[None, :])  # (R, C)
         sq = np.where(sq > W, 99, sq)
+        if collapse:  # single bucket: every near pair pads to SW swaps
+            sq = np.where(sq < 99, SW, 99)
 
         far_rows, far_cols = [], []
         far_sel = sq >= 99
@@ -1286,15 +1334,22 @@ class MPSTensorData:
             return b
 
         # per-side tables with a self-swap sentinel row appended (used by
-        # batch padding: rin = rout at kept base positions leaves det(S)=1)
-        def side_tables(rin_s, rout_s, rpos_s, sign_s):
+        # batch padding: rin = rout at kept base positions leaves det(S)=1);
+        # on accelerator layouts the row count pads to the SITE-level bond
+        # bucket so every class of a site shares one table shape family
+        def side_tables(rin_s, rout_s, rpos_s, sign_s, min_rows):
             n = len(rin_s)
-            R_b = pow2(n + 1, 32)
-            sent_in = base[:W].astype(np.int32)
-            sent_pos = np.arange(W, dtype=np.int32)
-            Rin = np.broadcast_to(sent_in, (R_b, W)).copy()
+            TW = rin_s.shape[1]
+            R_b = pow2(max(n, min_rows) + 1, 32)
+            sent_in = np.concatenate(
+                [base[:W], np.full(TW - W, base[0])]
+            ).astype(np.int32)
+            sent_pos = np.concatenate(
+                [np.arange(W), np.zeros(TW - W, int)]
+            ).astype(np.int32)
+            Rin = np.broadcast_to(sent_in, (R_b, TW)).copy()
             Rout = Rin.copy()
-            Rpos = np.broadcast_to(sent_pos, (R_b, W)).copy()
+            Rpos = np.broadcast_to(sent_pos, (R_b, TW)).copy()
             sg = np.ones(R_b)
             Rin[:n] = rin_s
             Rout[:n] = rout_s
@@ -1302,11 +1357,13 @@ class MPSTensorData:
             sg[:n] = sign_s
             return Rin, Rout, Rpos, sg, R_b
 
+        min_r = len(self.sets_bra) if collapse else 0
+        min_c = len(self.sets_ket) if collapse else 0
         Rin_t, Rout_t, Rpos_t, sgr_t, R_b = side_tables(
-            rin_r, rout_r, rpos_r, sign_r
+            rin_r, rout_r, rpos_r, sign_r, min_r
         )
         Cin_t, Cout_t, Cpos_t, sgc_t, K_b = side_tables(
-            rin_c, rout_c, rpos_c, sign_c
+            rin_c, rout_c, rpos_c, sign_c, min_c
         )
 
         # scatter value tables over class-local ids (global bond values)

@@ -107,6 +107,27 @@ def test_swap_path_matches_direct_path(monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9)
 
 
+def test_swap_collapse_matches_fine_buckets(monkeypatch):
+    """The collapsed single-shape-family swap plan (TPU cold-compile fix:
+    pad width = sometimes bucket, fixed 8-wide tables, one s_b=8 bucket)
+    produces the same tensors as the fine-grained CPU buckets."""
+    H = _bench_model(32, W=8)
+    C, _ = slater.correlation_matrix(H)
+
+    monkeypatch.setenv("TEMFPY_TPU_DET_UPDATES", "1")
+    monkeypatch.setenv("TEMFPY_TPU_SWAP_COLLAPSE", "0")
+    mps_fine = slater.C_to_MPS(C, {"chi_max": 96})
+    monkeypatch.setenv("TEMFPY_TPU_SWAP_COLLAPSE", "1")
+    mps_flat = slater.C_to_MPS(C, {"chi_max": 96})
+
+    n0 = mps_fine.norm_squared()
+    n1 = mps_flat.norm_squared()
+    f = abs(mps_fine.overlap(mps_flat)) / (n0 * n1) ** 0.5
+    assert f > 1 - 1e-10, f"cross-path fidelity {f}"
+    for a, b in zip(mps_fine._B, mps_flat._B):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9)
+
+
 def test_swap_path_exercised():
     """The bench-model conversion actually routes pairs through the
     rank-update path (guard against silently falling back to direct)."""
