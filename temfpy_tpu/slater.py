@@ -1137,13 +1137,19 @@ class MPSTensorData:
             r_l, c_l = direct[w_b]
             rows = np.concatenate(r_l)
             cols = np.concatenate(c_l)
-            plans.append(self._direct_plan_packed(rows, cols, w_b, m, shape))
+            plans.extend(self._direct_plan_packed(rows, cols, w_b, m, shape))
         return shape, q_l, q_r, plans
 
     def _direct_plan_packed(self, rows, cols, w_b, m, shape):
-        """Packed direct-fill plan: per-unique-bond occupation tables +
+        """Packed direct-fill plans: per-unique-bond occupation tables +
         (P_b,) pair-id vectors + per-axis scatter value tables (consumed by
-        :func:`_det_fill_packed_impl`)."""
+        :func:`_det_fill_packed_impl`).  Returns a LIST of plans: the pair
+        axis is chunked so the kernel's one-hot selection temporaries
+        (~P_b * w * (m + w) f32 entries, cf. ops.linalg._onehot_select)
+        stay under ~0.5 GB per dispatch — at chi = 1024 a single width
+        bucket can hold ~1e5 pairs, whose unchunked temporaries exhaust
+        the 16 GB HBM (round-4 north-star OOM).  Chunks scatter into
+        disjoint entries; the caller sums the partial tensors."""
 
         def pow2(n, lo):
             b = lo
@@ -1152,6 +1158,22 @@ class MPSTensorData:
             return b
 
         P = len(rows)
+        mt = m + w_b
+        per_pair = w_b * mt * 4 + w_b * 128 * 8  # one-hot f32 + LU temps
+        # budget keeps the chi=512 headline dispatch sizes unchanged
+        # (P_b = 32768 at w = 44) while capping chi >= 1024 buckets
+        P_cap = pow2(max(256, int(2.4e9 / max(per_pair, 1)) or 1), 256) // 2
+        P_cap = max(P_cap, 256)
+        if P > P_cap:
+            out = []
+            for p0 in range(0, P, P_cap):
+                out.extend(
+                    self._direct_plan_packed(
+                        rows[p0 : p0 + P_cap], cols[p0 : p0 + P_cap],
+                        w_b, m, shape,
+                    )
+                )
+            return out
         P_b = pow2(P, 256)
         ub, inv_r = np.unique(rows, return_inverse=True)
         uk, inv_c = np.unique(cols, return_inverse=True)
@@ -1196,9 +1218,9 @@ class MPSTensorData:
         flat = np.concatenate(
             [occ_b.ravel(), occ_k.ravel(), pr, pc] + [t.ravel() for t in tabs]
         ).astype(np.int32, copy=False)
-        return {"kind": "direct", "occ_b": occ_b, "occ_k": occ_k,
-                "pr": pr, "pc": pc, "tabs": tabs, "spec": spec,
-                "flat": flat}
+        return [{"kind": "direct", "occ_b": occ_b, "occ_k": occ_k,
+                 "pr": pr, "pc": pc, "tabs": tabs, "spec": spec,
+                 "flat": flat}]
 
     def _direct_arrays(self, rows, cols, w_b, m, shape, pad_batch=True):
         """(idx_b, idx_k, scat) arrays of the direct identity-padded path."""
@@ -2320,11 +2342,43 @@ def _schmidt_vectors_batched(
         n_fermion = int(np.round(float(jnp.trace(jnp.asarray(C)).real)))
     sizes = [x if which == "L" else L - x for x in cuts]
 
-    if host_mode:
+    from .ops.spectral import rsf_sweep_frames, use_rsf
+
+    # the randomized frontend applies wherever the compact host frontend
+    # would (real C, no mesh); TEMFPY_TPU_RSF=1 also forces it on CPU
+    # layouts (tests, A/B comparisons)
+    from .parallel.mesh import active_mesh
+
+    rsf = (
+        not np.iscomplexobj(C) and active_mesh() is None and use_rsf(C, L)
+    )
+    if rsf and C_host is None:
+        C_host = np.asarray(C)
+    if rsf:
+        host_mode = True
         with profiling.stage("eigh_batch"):
-            e_list, col0_list, frame_list = _compact_sweep_frames(
-                C_host, sizes, which, trunc_par.svd_min**2, chunk
+            e_list, col0_list, frame_list, fb = rsf_sweep_frames(
+                C_host, sizes, which, trunc_par.svd_min**2
             )
+            if fb:
+                e_f, c_f, f_f = _compact_sweep_frames(
+                    C_host,
+                    [sizes[j] for j in fb],
+                    which,
+                    trunc_par.svd_min**2,
+                    chunk,
+                )
+                for t, j in enumerate(fb):
+                    e_list[j] = e_f[t]
+                    col0_list[j] = c_f[t]
+                    frame_list[j] = f_f[t]
+
+    if host_mode:
+        if not rsf:
+            with profiling.stage("eigh_batch"):
+                e_list, col0_list, frame_list = _compact_sweep_frames(
+                    C_host, sizes, which, trunc_par.svd_min**2, chunk
+                )
         out = []
         for i, x in enumerate(cuts):
             kw = dict(diag_tol=diag_tol, n_fermion=n_fermion)
