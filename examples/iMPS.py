@@ -1,41 +1,47 @@
-"""Finite -> infinite MPS for a dimerized chain, validated by splicing extra
-unit cells into the finite MPS and checking the overlap (mirrors reference
-examples/iMPS.py)."""
+"""Extract an infinite MPS from two finite conversions of a dimerized
+chain, then validate it by splicing cells back into the finite state.
+
+Route (same contract as reference examples/iMPS.py, code is this
+library's own): convert chains of length L and L + cell, hand both to
+iMPS.MPS_to_iMPS, splice n extra unit cells into the short chain with
+MPS.splice, and overlap against a directly-converted longer chain.
+
+Run:  python examples/iMPS.py [L] [n_cells]
+"""
+
+import sys
 
 import numpy as np
 
 from temfpy_tpu import iMPS, slater
-from temfpy_tpu.mps import MPS
+
+CELL = 2
 
 
-def H(L, t1=-1, t2=-1.5):
-    M = t1 * np.ones(L - 1)
-    M[1::2] = t2
-    M = np.diag(M, 1)
+def dimer_H(L, t_strong=-1.6, t_weak=-1.0):
+    hop = np.empty(L - 1)
+    hop[0::2] = t_strong
+    hop[1::2] = t_weak
+    M = np.diag(hop, 1)
     return M + M.T
 
 
-trunc_par = dict(chi_max=100)
+def main(L=128, n_cells=8, chi=100):
+    trunc = {"chi_max": chi}
+    cut = L // 2
+    short = slater.H_to_MPS(dimer_H(L), trunc)
+    long_ = slater.H_to_MPS(dimer_H(L + CELL), trunc)
 
-L_short = 128
-cut = L_short // 2
+    cell, err = iMPS.MPS_to_iMPS(short, long_, CELL, cut, offset=0)
+    print(f"gauge errors: {err}")
 
-mps_short = slater.H_to_MPS(H(L_short), trunc_par)
-mps_long = slater.H_to_MPS(H(L_short + 2), trunc_par)
+    rebuilt = short.splice(cell, cut, n_cells)
+    target = slater.H_to_MPS(dimer_H(L + n_cells * CELL), trunc)
+    print(f"overlap after splicing {n_cells} cells: "
+          f"{abs(target.overlap(rebuilt)):.10f}")
+    return cell
 
-imps, val_metric = iMPS.MPS_to_iMPS(mps_short, mps_long, 2, cut, offset=0)
-print("Error metric:", val_metric)
 
-# check overlap after inserting more unit cells
-n_cell = 8
-mps_vlong = slater.H_to_MPS(H(L_short + n_cell * 2), trunc_par)
-s_vlong = mps_short.sites[:cut] + imps.sites * n_cell + mps_short.sites[cut:]
-B_vlong = list(mps_short._B[:cut]) + list(imps._B) * n_cell + list(mps_short._B[cut:])
-S_vlong = (
-    list(mps_short._S[:cut])
-    + [imps._S[j] for j in range(imps.L)] * n_cell
-    + list(mps_short._S[cut:])
-)
-f_vlong = mps_short.form[:cut] + ["B"] * (imps.L * n_cell) + mps_short.form[cut:]
-mps_rec = MPS(s_vlong, B_vlong, S_vlong, form=f_vlong, bc="finite")
-print("Reconstruction overlap:", mps_vlong.overlap(mps_rec))
+if __name__ == "__main__":
+    args = [int(a) for a in sys.argv[1:3]]
+    main(*args)

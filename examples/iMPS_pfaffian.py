@@ -1,40 +1,51 @@
-"""Direct H -> iMPS for a gapped (dimerized) Kitaev chain in the Majorana
-basis, validated by the reconstruction overlap (mirrors reference
-examples/iMPS_pfaffian.py)."""
+"""Direct Hamiltonian -> infinite MPS for a gapped Majorana (Kitaev-type)
+chain, validated by cell splicing.
+
+Same contract as reference examples/iMPS_pfaffian.py (parity-conserving
+H_to_iMPS in the Majorana basis + reconstruction overlap); the code is
+this library's own.
+
+Run:  python examples/iMPS_pfaffian.py [L] [n_cells]
+"""
+
+import sys
 
 import numpy as np
 
 from temfpy_tpu import pfaffian
-from temfpy_tpu.mps import MPS
+
+CELL = 1
 
 
-def H(L, t1=1.5j, t2=1j):
-    M = t1 * np.ones(2 * L - 1)
-    M[1::2] = t2
-    M = np.diag(M, 1)
+def majorana_dimer_H(L, t_strong=1.5, t_weak=1.0):
+    """Dimerized Majorana hopping i t_k gamma_k gamma_{k+1} — gapped for
+    t_strong != t_weak (the Kitaev chain off criticality)."""
+    hop = np.empty(2 * L - 1, dtype=complex)
+    hop[0::2] = 1j * t_strong
+    hop[1::2] = 1j * t_weak
+    M = np.diag(hop, 1)
     return M + M.conj().T
 
 
-trunc_par = dict(chi_max=100)
-L_short = 64
-cell = 1
-cut = L_short // 2
+def main(L=64, n_cells=8, chi=100):
+    trunc = {"chi_max": chi}
+    cut = L // 2
+    cell, err = pfaffian.H_to_iMPS(
+        majorana_dimer_H(L), majorana_dimer_H(L + CELL), trunc, CELL, cut,
+        basis="M",
+    )
+    print(f"gauge errors: {err}")
 
-imps, val_metric = pfaffian.H_to_iMPS(
-    H(L_short), H(L_short + cell), trunc_par, cell, cut, basis="M"
-)
-print("Error metric:", val_metric)
+    short = pfaffian.H_to_MPS(majorana_dimer_H(L), trunc, basis="M")
+    target = pfaffian.H_to_MPS(
+        majorana_dimer_H(L + n_cells * CELL), trunc, basis="M"
+    )
+    rebuilt = short.splice(cell, cut, n_cells)
+    print(f"overlap after splicing {n_cells} cells: "
+          f"{abs(target.overlap(rebuilt)):.10f}")
+    return cell
 
-n_cell = 8
-mps_short = pfaffian.H_to_MPS(H(L_short), trunc_par, basis="M")
-mps_vlong = pfaffian.H_to_MPS(H(L_short + n_cell * cell), trunc_par, basis="M")
-s = mps_short.sites[:cut] + imps.sites * n_cell + mps_short.sites[cut:]
-B = list(mps_short._B[:cut]) + list(imps._B) * n_cell + list(mps_short._B[cut:])
-S = (
-    list(mps_short._S[:cut])
-    + [imps._S[j] for j in range(cell)] * n_cell
-    + list(mps_short._S[cut:])
-)
-f = mps_short.form[:cut] + ["B"] * (cell * n_cell) + mps_short.form[cut:]
-mps_rec = MPS(s, B, S, form=f, bc="finite")
-print("Reconstruction overlap:", mps_vlong.overlap(mps_rec))
+
+if __name__ == "__main__":
+    args = [int(a) for a in sys.argv[1:3]]
+    main(*args)

@@ -1,38 +1,47 @@
-"""Direct H -> iMPS for a dimerized chain via the correlation-matrix route,
-validated by the reconstruction overlap (mirrors reference
-examples/iMPS_slater.py)."""
+"""Direct Hamiltonian -> infinite MPS through the correlation-matrix
+route (no transfer-matrix contractions), validated by cell splicing.
+
+slater.H_to_iMPS computes the gauge overlap from Slater determinant
+overlap formulas instead of contracting tensor networks (reference
+slater.py:1356-1565 route); the splice/overlap validation matches
+reference examples/iMPS_slater.py, the code is this library's own.
+
+Run:  python examples/iMPS_slater.py [L] [n_cells]
+"""
+
+import sys
 
 import numpy as np
 
 from temfpy_tpu import slater
-from temfpy_tpu.mps import MPS
+
+CELL = 2
 
 
-def H(L, t1=-1, t2=-1.5):
-    M = t1 * np.ones(L - 1)
-    M[1::2] = t2
-    M = np.diag(M, 1)
+def dimer_H(L, t_strong=-1.6, t_weak=-1.0):
+    hop = np.empty(L - 1)
+    hop[0::2] = t_strong
+    hop[1::2] = t_weak
+    M = np.diag(hop, 1)
     return M + M.T
 
 
-trunc_par = dict(chi_max=100)
-L_short = 128
-cell = 2
-cut = L_short // 2
+def main(L=128, n_cells=8, chi=100):
+    trunc = {"chi_max": chi}
+    cut = L // 2
+    cell, err = slater.H_to_iMPS(
+        dimer_H(L), dimer_H(L + CELL), trunc, CELL, cut, offset=0
+    )
+    print(f"gauge errors: {err}")
 
-imps, val_metric = slater.H_to_iMPS(H(L_short), H(L_short + cell), trunc_par, cell, cut, offset=0)
-print("Error metric:", val_metric)
+    short = slater.H_to_MPS(dimer_H(L), trunc)
+    target = slater.H_to_MPS(dimer_H(L + n_cells * CELL), trunc)
+    rebuilt = short.splice(cell, cut, n_cells)
+    print(f"overlap after splicing {n_cells} cells: "
+          f"{abs(target.overlap(rebuilt)):.10f}")
+    return cell
 
-n_cell = 8
-mps_short = slater.H_to_MPS(H(L_short), trunc_par)
-mps_vlong = slater.H_to_MPS(H(L_short + n_cell * cell), trunc_par)
-s = mps_short.sites[:cut] + imps.sites * n_cell + mps_short.sites[cut:]
-B = list(mps_short._B[:cut]) + list(imps._B) * n_cell + list(mps_short._B[cut:])
-S = (
-    list(mps_short._S[:cut])
-    + [imps._S[j] for j in range(cell)] * n_cell
-    + list(mps_short._S[cut:])
-)
-f = mps_short.form[:cut] + ["B"] * (cell * n_cell) + mps_short.form[cut:]
-mps_rec = MPS(s, B, S, form=f, bc="finite")
-print("Reconstruction overlap:", mps_vlong.overlap(mps_rec))
+
+if __name__ == "__main__":
+    args = [int(a) for a in sys.argv[1:3]]
+    main(*args)

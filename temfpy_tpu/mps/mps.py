@@ -251,6 +251,35 @@ class MPS:
             q_bonds=q_bonds, qtotals=qts, norm=self.norm,
         )
 
+    def splice(self, imps: "MPS", cut: int, n_cells: int) -> "MPS":
+        """A finite MPS with ``n_cells`` copies of the infinite unit cell
+        ``imps`` inserted at bond ``cut``.
+
+        The standard validation of an iMPS extraction (reference
+        examples/iMPS*.py): splice the extracted cell back into the finite
+        state it came from and overlap against an independently converted
+        longer chain — the overlap approaches 1 when the cell is converged.
+        The inserted tensors keep right-canonical ("B") form; the
+        surrounding tensors and Schmidt values are untouched."""
+        assert self.finite, "splice target must be a finite MPS"
+        assert not imps.finite, "spliced cell must be an infinite MPS"
+        cell = imps.L
+        sites = self.sites[:cut] + imps.sites * n_cells + self.sites[cut:]
+        Bs = (
+            list(self._B[:cut])
+            + list(imps._B) * n_cells
+            + list(self._B[cut:])
+        )
+        svs = (
+            list(self._S[:cut])
+            + [imps._S[j] for j in range(cell)] * n_cells
+            + list(self._S[cut:])
+        )
+        form = (
+            self.form[:cut] + ["B"] * (cell * n_cells) + self.form[cut:]
+        )
+        return MPS(sites, Bs, svs, form=form, bc="finite")
+
     def group_sites(self, n: int = 2) -> "MPS":
         """Combines every ``n`` consecutive sites into one grouped site with
         fused physical legs (replaces TeNPy ``MPS.group_sites``, reference
