@@ -89,8 +89,9 @@ def rsf_kb() -> int:
 
 
 def rsf_chunk() -> int:
-    """Cuts per chunk executable."""
-    return _env_int("TEMFPY_TPU_RSF_CHUNK", 16)
+    """Cuts per chunk executable (larger chunks amortize the batched
+    small-eigh cost; slab memory is m * L * (kb + rf) * 8 bytes)."""
+    return _env_int("TEMFPY_TPU_RSF_CHUNK", 32)
 
 
 def rsf_mode() -> str:
@@ -338,7 +339,8 @@ def rsf_sweep_frames(C_host, sizes, side, cutoff, *, seed=1234):
         total = diag_prefix[-1]
 
     iota = np.arange(L)
-    results = []  # per chunk: (slab, packed, sl)
+    results = []  # per chunk: (slab, sl)
+    packed_parts = []
     for j0 in range(0, n, m):
         sl = [int(s) for s in sizes[j0 : j0 + m]]
         pad = sl + [sl[-1]] * (m - len(sl))
@@ -363,18 +365,23 @@ def rsf_sweep_frames(C_host, sizes, side, cutoff, *, seed=1234):
                 q=POWER_STEPS,
                 res_tol=RES_TOL,
             )
-        results.append((slab, packed, sl))
+        results.append((slab, sl))
+        packed_parts.append(packed)
 
     from ..slater import _take_frame
+
+    # ONE download for the whole sweep: the tunnel pays a ~30 ms round
+    # trip per transfer, so per-chunk downloads would serialize ~n/m RTTs
+    with profiling.stage("rsf/download"):
+        pk_all = np.asarray(jnp.concatenate(packed_parts, axis=0))
 
     e_list = [None] * n
     col0_list = [0] * n
     frame_list = [None] * n
     fallback = []
     i = 0
-    for slab, packed, sl in results:
-        with profiling.stage("rsf/download"):
-            pk = np.asarray(packed)
+    for ci, (slab, sl) in enumerate(results):
+        pk = pk_all[ci * m : ci * m + len(sl)]
         for t, x in enumerate(sl):
             k = int(pk[t, 2 * k_keep])
             n_f = int(pk[t, 2 * k_keep + 1])
