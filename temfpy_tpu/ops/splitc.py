@@ -105,6 +105,23 @@ def sc_antisymmetrize(a):
     return _sc_antisym_impl(a[0], a[1])
 
 
+def _nambu_full(Vr_h, Vi_h):
+    """Reconstructs full (2nb, 2nb) Nambu mode-matrix planes from the
+    first nb (annihilator) columns: with site-interleaved rows
+    (c_1, c^dag_1, c_2, ...), the creator column of mode j is the complex
+    conjugate of its annihilator column with even/odd rows swapped —
+    bit-exact (measured 0.0 over full conversions), so only half of every
+    frame crosses the tunnel (the frame upload dominated the Pfaffian
+    tensor_plan stage at the p+ip stress config, BASELINE.md round 3)."""
+    nb = Vr_h.shape[0] // 2
+    swap_r = Vr_h.reshape(nb, 2, -1)[:, ::-1, :].reshape(2 * nb, -1)
+    swap_i = Vi_h.reshape(nb, 2, -1)[:, ::-1, :].reshape(2 * nb, -1)
+    return (
+        jnp.concatenate([Vr_h, swap_r], axis=1),
+        jnp.concatenate([Vi_h, -swap_i], axis=1),
+    )
+
+
 @jax.jit
 def pf_overlap_kernel(V1r, V1i, V2r, V2i, j1, j2):
     r"""Fused per-site overlap preparation of the Pfaffian tensor fill
@@ -166,3 +183,17 @@ pf_overlap_group = jax.jit(jax.vmap(pf_overlap_kernel))
 shape bucket — the conversion drivers group per-site overlap preparations
 into one executable and one fused frame upload (dispatch latency and
 per-transfer round trips dominate the per-site variant on the tunnel)."""
+
+
+def _pf_overlap_kernel_half(V1r, V1i, V2r, V2i, j1, j2):
+    """:func:`pf_overlap_kernel` taking (2nb, nb) annihilator-column
+    planes; the creator halves are reconstructed on device
+    (:func:`_nambu_full`)."""
+    V1r, V1i = _nambu_full(V1r, V1i)
+    V2r, V2i = _nambu_full(V2r, V2i)
+    return pf_overlap_kernel.__wrapped__(V1r, V1i, V2r, V2i, j1, j2)
+
+
+pf_overlap_group_half = jax.jit(jax.vmap(_pf_overlap_kernel_half))
+"""Vmapped half-frame overlap kernel (one fused half-frame upload per
+shape bucket; halves the dominant tensor_plan transfer volume)."""

@@ -878,9 +878,12 @@ def _pfaffian_matrix(V1, V2, sets1, sets2, *, mode, tolerance=1e-8, min_SV=1e-6,
             return norm, (Nr, Ni), new_sets1, new_sets2, k2_b
 
         if defer and not checked:
+            # only the annihilator column halves ship; the conjugate
+            # creator halves are reconstructed on device
+            # (ops.splitc._nambu_full — bit-exact)
             return {
-                "frames": (_pad_nambu_modes(V1, n_b),
-                           _pad_nambu_modes(V2, n_b)),
+                "frames": (_pad_nambu_modes(V1, n_b)[:, :n_b],
+                           _pad_nambu_modes(V2, n_b)[:, :n_b]),
                 "idx": (j1, j2),
                 "finish": finish,
             }
@@ -1542,7 +1545,7 @@ def _C_to_MPS_body(C, trunc_par, basis, diag_tol, ortho_center,
                     J2 = jnp.asarray(
                         np.stack([p["idx"][1] for _, p in items])
                     )
-                    Nr_s, Ni_s, det_s, *_ = splitc.pf_overlap_group(
+                    Nr_s, Ni_s, det_s, *_ = splitc.pf_overlap_group_half(
                         *planes, J1, J2
                     )
                     for t, (i, p) in enumerate(items):
