@@ -7,6 +7,10 @@ import pytest
 import temfpy_tpu.testing as tst
 from temfpy_tpu import gutzwiller, slater
 
+# full spinful/Gutzwiller conversions: the suite's heaviest integration
+# tier; `pytest -m "not slow"` keeps the fast correctness tier under ~5 min
+pytestmark = pytest.mark.slow
+
 _ACTION = "warn"
 
 
