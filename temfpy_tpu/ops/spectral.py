@@ -95,9 +95,17 @@ def rsf_chunk() -> int:
 
 
 def rsf_mode() -> str:
-    """"0" (off), "1" (on), "auto" (on for real C on accelerator backends
-    above the L threshold)."""
-    return os.environ.get("TEMFPY_TPU_RSF", "auto")
+    """"0" (off, the default), "1" (on), "auto" (on for real C on
+    accelerator backends above the L threshold).
+
+    Off by default after the round-4 A/B: at L=512/chi=512 the warm
+    conversion measured 120.7 s with the randomized frontend vs 56.7 s
+    with the compact host-LAPACK frontend (the banded subspace iteration
+    plus batched small eighs cost ~54 s of device time where host LAPACK
+    plus the occupied-column upload costs ~10 s; BASELINE.md round 4).
+    The frontend remains available for A/B and for scales where the host
+    eigh's O(L^4) eventually binds."""
+    return os.environ.get("TEMFPY_TPU_RSF", "0")
 
 
 def rsf_min_L() -> int:

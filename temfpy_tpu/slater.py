@@ -1410,43 +1410,57 @@ class MPSTensorData:
             spec, tabs = "crr", (colv, phys, beta)
 
         sub_plans = []
+        # pair-axis cap: the packed swap kernel's per-pair temporaries are
+        # ~s_b * (w_b + 128) tile-padded lanes; an unbounded 4x batch grid
+        # at chi >= 512 with the collapsed w_b = m tables exhausted HBM
+        # (round-4 RESOURCE_EXHAUSTED in _swap_fill_packed_group) —
+        # chunks scatter into disjoint entries and resolve sums the parts
+        per_pair = SW * (w_b * 4 + 128 * 8)
+        P_cap = 1024
+        while P_cap * 4 <= int(1.2e9 / max(per_pair, 1)) and P_cap < 262144:
+            P_cap *= 4
         for s_b in np.unique(sq[sq < 99]):
             s_b = int(s_b)
-            ri, ci = np.nonzero(sq == s_b)
-            P = len(ri)
-            # coarse batch grid (4x steps, min 1024): executable diversity,
-            # not padding flops, dominates TPU cold starts
-            P_b = 1024
-            while P_b < P:
-                P_b *= 4
-            pr = np.full(P_b, R_b - 1, np.int32)
-            pr[:P] = ri
-            pc = np.full(P_b, K_b - 1, np.int32)
-            pc[:P] = ci
-            plan = {
-                "kind": "swap",
-                "s_b": s_b,
-                "pr": pr,
-                "pc": pc,
-                "Rin": Rin_t, "Rout": Rout_t, "Rpos": Rpos_t, "sgr": sgr_t,
-                "Cin": Cin_t, "Cout": Cout_t, "Cpos": Cpos_t, "sgc": sgc_t,
-                "tabs": tabs,
-                "spec": spec,
-            }
-            g_rows = rows[ri]
-            g_cols = cols[ci]
-            plan["rows"] = g_rows
-            plan["cols"] = g_cols
-            # cross-check subset (strided through the real pairs; may
-            # repeat for tiny batches -- fixed size keeps one executable)
-            chk = np.linspace(0, P - 1, _N_CHECK).astype(int)
-            plan["check_sel"] = chk
-            chk_idx_b, chk_idx_k, _ = self._direct_arrays(
-                g_rows[chk], g_cols[chk], w_b, m, shape, pad_batch=False
-            )
-            plan["check_idx_b"] = chk_idx_b
-            plan["check_idx_k"] = chk_idx_k
-            sub_plans.append(plan)
+            ri_all, ci_all = np.nonzero(sq == s_b)
+            for p0 in range(0, len(ri_all), P_cap):
+                ri = ri_all[p0 : p0 + P_cap]
+                ci = ci_all[p0 : p0 + P_cap]
+                P = len(ri)
+                # coarse batch grid (4x steps, min 1024): executable
+                # diversity, not padding flops, dominates TPU cold starts
+                P_b = 1024
+                while P_b < P:
+                    P_b *= 4
+                pr = np.full(P_b, R_b - 1, np.int32)
+                pr[:P] = ri
+                pc = np.full(P_b, K_b - 1, np.int32)
+                pc[:P] = ci
+                plan = {
+                    "kind": "swap",
+                    "s_b": s_b,
+                    "pr": pr,
+                    "pc": pc,
+                    "Rin": Rin_t, "Rout": Rout_t, "Rpos": Rpos_t,
+                    "sgr": sgr_t,
+                    "Cin": Cin_t, "Cout": Cout_t, "Cpos": Cpos_t,
+                    "sgc": sgc_t,
+                    "tabs": tabs,
+                    "spec": spec,
+                }
+                g_rows = rows[ri]
+                g_cols = cols[ci]
+                plan["rows"] = g_rows
+                plan["cols"] = g_cols
+                # cross-check subset (strided through the real pairs; may
+                # repeat for tiny batches — fixed size keeps one executable)
+                chk = np.linspace(0, P - 1, _N_CHECK).astype(int)
+                plan["check_sel"] = chk
+                chk_idx_b, chk_idx_k, _ = self._direct_arrays(
+                    g_rows[chk], g_cols[chk], w_b, m, shape, pad_batch=False
+                )
+                plan["check_idx_b"] = chk_idx_b
+                plan["check_idx_k"] = chk_idx_k
+                sub_plans.append(plan)
 
         far = None
         if far_rows:
