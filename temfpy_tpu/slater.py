@@ -665,6 +665,15 @@ pass.  The per-class direct fallback and the full-conversion equivalence
 test (tests/test_det_updates.py) bound the blast radius; raising this
 constant trades one extra device batch per bucket for tighter coverage."""
 
+_SWAP_GMAX = 1e6
+"""Conditioning pre-screen for rank-update bases: classes whose base
+inverse G = A^{-1} has an entry above this skip the swap dispatch and
+resolve through the direct path.  |det A| alone misses bases with an O(1)
+determinant and a tiny singular value (symmetry-degenerate pi-flux
+classes); max|G| ~ 1/sigma_min caps the f64 error amplification of every
+swap entry at ~1e-16 * _SWAP_GMAX = 1e-10, inside the 1e-8 cross-check
+tolerance."""
+
 
 def _use_det_updates() -> bool:
     """Whether the rank-update determinant path is active.
@@ -2073,21 +2082,30 @@ def build_site_tensors(pairs):
                 r0s = jnp.asarray(np.stack([e["plan"]["r0"] for e in pad]))
                 c0s = jnp.asarray(np.stack([e["plan"]["c0"] for e in pad]))
                 D0s, Gs, Ps, T2s, T3s = det_swap_tables_group(Ms, r0s, c0s)
+                Gms = jnp.max(jnp.abs(Gs), axis=(1, 2))
                 for t, e in enumerate(chunk):
                     e["tables"] = (D0s[t], Gs[t], Ps[t], T2s[t], T3s[t])
+                    e["gmax"] = Gms[t]
 
     # pre-screen: a near-zero base determinant means the rank-update formula
     # det = det(base) * det(S) must cancel catastrophically — the runtime
     # cross-check WILL fail and the class recompute through the direct path
     # anyway (measured bimodal on the pi-flux ansatz: 47% of bases below
-    # 1e-12, the rest above 1e-3).  One fetch for all classes; screened
-    # classes skip the swap-det dispatch entirely and resolve as forced
-    # fallbacks.  False positives only cost the direct recompute, and the
-    # cross-check still guards the classes that pass.
+    # 1e-12, the rest above 1e-3).  A base can also carry an O(1)
+    # determinant yet be ill-conditioned (the pi-flux symmetry-degenerate
+    # classes); since G = base^{-1} feeds every swap entry, max|G| bounds
+    # the f64 error amplification — screen at 1e6 so surviving classes sit
+    # well inside the 1e-8 cross-check tolerance.  One fetch for all
+    # classes; screened classes skip the swap-det dispatch entirely and
+    # resolve as forced fallbacks.  False positives only cost the direct
+    # recompute, and the cross-check still guards the classes that pass.
     if entries:
         D0_flat = np.asarray(jnp.stack([e["tables"][0] for e in entries]))
-        for e, d0 in zip(entries, D0_flat):
-            e["forced"] = bool(float(abs(d0)) < 1e-12)
+        Gm_flat = np.asarray(jnp.stack([e["gmax"] for e in entries]))
+        for e, d0, gm in zip(entries, D0_flat, Gm_flat):
+            e["forced"] = bool(
+                float(abs(d0)) < 1e-12 or float(gm) > _SWAP_GMAX
+            )
 
     # stage B: per-bucket determinant batches + check oracles, chunked
     subs = []
