@@ -147,6 +147,64 @@ def to_stopping_condition(trunc_par) -> StoppingCondition:
     )
 
 
+def _lowest_sums_batched(a, trunc_par, base_set, base_sum):
+    """Vectorised enumeration for the trivial-sector case.
+
+    The heap in :func:`lowest_sums` collects every subset (all pass the
+    sector filter here) in increasing-sum order until ``len > chi_max`` or
+    the log-range exceeds ``max_logval``; :meth:`StoppingCondition.truncate`
+    then cuts.  Both stopping rules depend only on the MULTISET of sums, so
+    the same result follows from generating all flip-subsets with cost-sum
+    <= max_logval, capped at the chi_max+1 smallest (ties kept — truncate
+    never cuts inside a tie group, so surplus tie members never change the
+    cut), and sorting.  One rank-by-rank numpy merge replaces ~chi heap
+    pops of Python: S' = [S, S + cost_k], pruned by bound and cap.
+
+    Subsets that tie exactly may appear in a different relative order than
+    the heap's insertion order; the enumerated set, the sums, and the
+    truncation point are identical.
+
+    Returns (sums, sets) already truncated.
+    """
+    m = a.size
+    order = np.argsort(np.abs(a))
+    costs = np.abs(a)[order]
+    bound = trunc_par.max_logval
+    cap = None if trunc_par.chi_max is None else trunc_par.chi_max + 1
+
+    S = np.zeros(1)
+    F = np.zeros(1, np.uint64)  # flip bitmasks in rank space (m <= 63)
+    for k in range(m):
+        c = costs[k]
+        if c > bound:
+            break  # costs ascend: no later rank fits either
+        S2 = S + c
+        keep2 = S2 <= bound
+        if not keep2.any():
+            continue
+        S = np.concatenate([S, S2[keep2]])
+        F = np.concatenate([F, F[keep2] | np.uint64(1 << k)])
+        if cap is not None and len(S) > cap:
+            # keep the cap smallest plus every exact tie of the cap-th
+            kth = np.partition(S, cap - 1)[cap - 1]
+            keep = S <= kth
+            S = S[keep]
+            F = F[keep]
+    # surplus tail entries beyond chi_max+1 cannot move the cut (ok_cut is
+    # False past the chi_max / svd_min bounds in any case), so no final cap
+    sel = np.argsort(S, kind="stable")
+    S = S[sel]
+    F = F[sel]
+    # bitmasks -> bool flips in rank space -> original positions -> XOR base
+    bits = (F[:, None] >> np.arange(m, dtype=np.uint64)[None, :]) & np.uint64(1)
+    flips = np.zeros((len(F), m), bool)
+    flips[:, order] = bits.astype(bool)
+    sets = base_set[None, :] ^ flips
+    sums = base_sum + S
+    cut = trunc_par.truncate(sums)
+    return sums[:cut], sets[:cut]
+
+
 def lowest_sums(
     a,
     trunc_par: StoppingCondition,
@@ -208,6 +266,16 @@ def lowest_sums(
 
     base_set = a < 0  # subset with the smallest possible sum
     base_sum = float(a[base_set].sum())
+
+    if trunc_par.sectors is None and m <= 63:
+        # no sector filter: the enumeration is a pure k-smallest-subset-sums
+        # problem — use the vectorised merge (identical result, far less
+        # Python per cut; this stage is ~20 s of the L=1024 frontend).
+        # m <= 63 keeps the flip masks in uint64 (larger m means 2^63
+        # candidate subsets — chi_max pruning binds long before then, but
+        # the heap handles it without a width limit).
+        return _lowest_sums_batched(a, trunc_par, base_set, base_sum)
+
     if trunc_par.is_sector(charge(base_set)):
         sums.append(base_sum)
         sets.append(base_set)

@@ -679,15 +679,13 @@ def _use_det_updates() -> bool:
     """Whether the rank-update determinant path is active.
 
     Default: on for CPU layouts (measured ~10x det-flop win), off on
-    accelerators.  Round-3 status: the packed integration (per-unique-bond
-    swap tables + pair-id vectors, fused scatter) eliminates the round-2
-    index-upload cost, but the (class-shape x swap-bucket x batch-grid)
-    executable families cold-compile REMOTELY on the tunnel-attached TPU
-    and did not finish within 50 min at L=128 (2026-08-17) — a cold-start
-    blocker, not a steady-state one.  Flipping the default for TPU needs
-    either a collapsed shape family (single s bucket, fixed table widths)
-    or local/persistent-cache-guaranteed compilation.  Override with
-    TEMFPY_TPU_DET_UPDATES=0/1."""
+    accelerators — now a RETIRED, not blocked, path there: round 4 broke
+    the round-3 cold-compile wall (collapsed shape family + group-aware
+    pair caps compile in 745 s at L=256/chi=512) and the warm measurement
+    settled it — 87.9 s vs 21.9 s direct, the swap machinery's per-class
+    table dispatches, host stacking and cross-check downloads dwarfing
+    the det-flop saving on the round-trip-bound tunnel (BASELINE.md
+    round 4).  Override with TEMFPY_TPU_DET_UPDATES=0/1."""
     import os
 
     mode = os.environ.get("TEMFPY_TPU_DET_UPDATES", "auto")
@@ -1423,10 +1421,14 @@ class MPSTensorData:
         # ~s_b * (w_b + 128) tile-padded lanes; an unbounded 4x batch grid
         # at chi >= 512 with the collapsed w_b = m tables exhausted HBM
         # (round-4 RESOURCE_EXHAUSTED in _swap_fill_packed_group) —
-        # chunks scatter into disjoint entries and resolve sums the parts
+        # chunks scatter into disjoint entries and resolve sums the parts.
+        # The budget is per UNIT: the grouped dispatch vmaps 8 (class,
+        # bucket) units at once (GB in build_site_tensors), so the whole
+        # executable holds ~8x this footprint (a 1.2 GB per-unit budget
+        # re-exhausted HBM at L=256/chi=512, 2026-08-18).
         per_pair = SW * (w_b * 4 + 128 * 8)
         P_cap = 1024
-        while P_cap * 4 <= int(1.2e9 / max(per_pair, 1)) and P_cap < 262144:
+        while P_cap * 4 <= int(1.5e8 / max(per_pair, 1)) and P_cap < 262144:
             P_cap *= 4
         for s_b in np.unique(sq[sq < 99]):
             s_b = int(s_b)

@@ -113,3 +113,43 @@ def test_lowest_sums_first_set_filtered():
     sums, sets = lowest_sums(a, sc)
     assert len(sums) >= 1
     assert all(s.sum() != 1 for s in sets)
+
+
+def test_lowest_sums_batched_matches_heap():
+    """The vectorised trivial-sector path must reproduce the heap
+    enumeration exactly: same sums, same subsets, same truncation; on
+    tie-free inputs, the same order.  (sectors=lambda: always-True forces
+    the heap path without changing semantics.)"""
+    rng = np.random.default_rng(42)
+    for trial in range(60):
+        m = int(rng.integers(0, 20))
+        a = rng.normal(size=m) * rng.uniform(0.3, 4)
+        if trial % 3 == 0 and m > 3:  # exact degeneracies
+            a[1] = a[0]
+            a[m // 2] = -a[0]
+        kw = {}
+        r = rng.random()
+        if r < 0.5:
+            kw["chi_max"] = int(rng.integers(1, 150))
+        else:
+            kw["svd_min"] = float(np.exp(-rng.uniform(1, 5)))
+            if m > 14:
+                kw["chi_max"] = 300
+        fl = (
+            {"filled_left": int(rng.integers(0, 4))}
+            if rng.random() < 0.5
+            else {}
+        )
+        s_f, x_f = lowest_sums(a, StoppingCondition(**kw), **fl)
+        s_h, x_h = lowest_sums(
+            a, StoppingCondition(sectors=lambda q: True, **kw), **fl
+        )
+        assert len(s_f) == len(s_h)
+        np.testing.assert_allclose(s_f, s_h, rtol=0, atol=1e-12)
+        key = lambda s, x: sorted(  # noqa: E731
+            (round(float(v), 9), tuple(np.flatnonzero(row)))
+            for v, row in zip(s, x)
+        )
+        assert key(s_f, x_f) == key(s_h, x_h)
+        if len(np.unique(np.round(s_h, 12))) == len(s_h):
+            assert np.array_equal(x_f, x_h), "order differs on tie-free input"
