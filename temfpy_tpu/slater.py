@@ -23,6 +23,7 @@ construction.
 
 from __future__ import annotations
 
+import concurrent.futures as _futures
 import logging
 from dataclasses import dataclass
 from functools import lru_cache, partial
@@ -733,6 +734,22 @@ def _w4_grid() -> bool:
     import os
 
     return os.environ.get("TEMFPY_TPU_DET_W4", "0") == "1"
+
+
+def _stream_lookahead() -> bool:
+    """Whether the streamed sweeps run the next block's eigh_batch (host
+    LAPACK + slab upload) in a one-block lookahead thread.  Default on;
+    TEMFPY_TPU_STREAM_LOOKAHEAD=0 disables (serial A/B), =1 forces it even
+    on CPU backends (used by the equivalence test)."""
+    import os
+
+    return os.environ.get("TEMFPY_TPU_STREAM_LOOKAHEAD", "") != "0"
+
+
+def _force_stream_lookahead() -> bool:
+    import os
+
+    return os.environ.get("TEMFPY_TPU_STREAM_LOOKAHEAD", "") == "1"
 
 
 def _swap_collapse() -> bool:
@@ -2533,30 +2550,80 @@ def _C_to_MPS_body(C, trunc_par, diag_tol, ortho_center, unit_cell_width,
     # single host core works on later cuts (host planning and the device
     # fill tail are comparable at production sizes — overlapping them is
     # worth ~1/3 of the conversion wall-clock, BASELINE.md round 3).
+    #
+    # On accelerator backends a ONE-BLOCK LOOKAHEAD thread additionally
+    # overlaps the next block's eigh_batch — host LAPACK, frame packing and
+    # the blocking slab upload (together ~47 s of the 160 s L=1024 run,
+    # BASELINE.md round 4) — with this block's planning/fill dispatch.  The
+    # lookahead re-enters neither jax.default_device nor the cpu_mode flag
+    # (both thread-local), so it is gated OFF inside the small-problem CPU
+    # reroute and on CPU/GPU backends, where both "threads" would fight for
+    # the same host core anyway.
+    lookahead = _force_stream_lookahead() or (
+        _stream_lookahead()
+        and jax.default_backend() not in ("cpu", "gpu")
+        and not config.prefer_cpu_now()
+    )
+
     def stream_half(cuts, which, site_iter, bond_of_site, Schmidt0):
         Schmidt = Schmidt0
         sites_it = list(site_iter)
         pos = 0
-        for j0 in range(0, len(cuts), eigh_chunk):
-            block = cuts[j0 : j0 + eigh_chunk]
-            sv_block = _schmidt_vectors_batched(
+        blocks = [
+            cuts[j0 : j0 + eigh_chunk]
+            for j0 in range(0, len(cuts), eigh_chunk)
+        ]
+
+        # jax.default_device and the cpu_mode flag are thread-local: if a
+        # small-problem CPU reroute is active (forced lookahead), the worker
+        # must re-enter it or its uploads would land on the accelerator
+        reroute_dev = config.cpu_device() if config.prefer_cpu_now() else None
+
+        def eigh_block(block):
+            if reroute_dev is not None and not config.prefer_cpu_now():
+                with config._cpu_reroute(reroute_dev):
+                    return _schmidt_vectors_batched(
+                        C, block, which, trunc_par, diag_tol, eigh_chunk
+                    )
+            return _schmidt_vectors_batched(
                 C, block, which, trunc_par, diag_tol, eigh_chunk
             )
-            pairs, sites = [], []
-            for Schmidt_new in sv_block:
-                i = sites_it[pos]
-                pos += 1
-                b = bond_of_site(i)
-                lams[b] = normalize_SV(Schmidt_new.schmidt_values, logger)
-                q_bonds[b] = Schmidt_new.q_left
-                pairs.append((Schmidt_new, Schmidt,
-                              "right" if which == "R" else "left"))
-                sites.append(i)
-                Schmidt = Schmidt_new
-            with profiling.stage("tensor_fill"):
-                results = build_site_tensors(pairs)
-            for i, (T, _ql, _qr, qt) in zip(sites, results):
-                tensors[i] = (T, qt)
+
+        ex = (
+            _futures.ThreadPoolExecutor(1, "temfpy-lookahead")
+            if lookahead and len(blocks) > 1
+            else None
+        )
+        try:
+            pending = ex.submit(eigh_block, blocks[0]) if ex else None
+            for bi, block in enumerate(blocks):
+                if pending is not None:
+                    sv_block = pending.result()
+                    pending = (
+                        ex.submit(eigh_block, blocks[bi + 1])
+                        if bi + 1 < len(blocks)
+                        else None
+                    )
+                else:
+                    sv_block = eigh_block(block)
+                pairs, sites = [], []
+                for Schmidt_new in sv_block:
+                    i = sites_it[pos]
+                    pos += 1
+                    b = bond_of_site(i)
+                    lams[b] = normalize_SV(Schmidt_new.schmidt_values, logger)
+                    q_bonds[b] = Schmidt_new.q_left
+                    pairs.append((Schmidt_new, Schmidt,
+                                  "right" if which == "R" else "left"))
+                    sites.append(i)
+                    Schmidt = Schmidt_new
+                with profiling.stage("tensor_fill"):
+                    results = build_site_tensors(pairs)
+                for i, (T, _ql, _qr, qt) in zip(sites, results):
+                    tensors[i] = (T, qt)
+        finally:
+            if ex is not None:
+                ex.shutdown(wait=False, cancel_futures=True)
 
     # ---- right half: cuts c+1 .. L, right Schmidt vectors ----
     stream_half(

@@ -163,3 +163,25 @@ def test_ortho_center():
     e, v = np.linalg.eigh(np.asarray(H))
     psi_exact = oracles.slater_statevector(v[:, e < 0])
     assert oracles.fidelity(psi_exact, mps.to_statevector()) > 1 - 1e-10
+
+
+def test_stream_lookahead_bit_identical(monkeypatch):
+    """The one-block lookahead thread (TEMFPY_TPU_STREAM_LOOKAHEAD=1) must
+    reproduce the serial sweep bit-for-bit: each cut's Schmidt data depends
+    only on C, so pipelining the eigh_batch of block j+1 against block j's
+    planning changes scheduling, never values."""
+    H = random_H(24, seed=3)
+    C, _ = slater.correlation_matrix(H)
+
+    monkeypatch.setenv("TEMFPY_TPU_STREAM_LOOKAHEAD", "0")
+    ref = slater.C_to_MPS(C, {"chi_max": 48}, eigh_chunk=4)
+    monkeypatch.setenv("TEMFPY_TPU_STREAM_LOOKAHEAD", "1")
+    out = slater.C_to_MPS(C, {"chi_max": 48}, eigh_chunk=4)
+
+    assert ref.L == out.L
+    for i in range(ref.L):
+        np.testing.assert_array_equal(
+            np.asarray(ref._B[i]), np.asarray(out._B[i])
+        )
+    for a, b in zip(ref._S, out._S):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
