@@ -1489,7 +1489,7 @@ def _C_to_MPS_body(C, trunc_par, basis, diag_tol, ortho_center,
     pend = []  # deferred split-plane overlap preparations, grouped below
 
     def dispatch(i, bra, ket, mode):
-        with profiling.stage("tensor_plan"):
+        with profiling.stage("tensor_plan"), profiling.stage("plan/site"):
             res = MPSTensorData.from_schmidt_vectors(bra, ket, mode,
                                                      defer=True)
             if isinstance(res, dict):
@@ -1533,25 +1533,28 @@ def _C_to_MPS_body(C, trunc_par, basis, diag_tol, ortho_center,
                 g_max = max(1, int(2.5e9 // per_site))
                 for g0 in range(0, len(items_all), g_max):
                     items = items_all[g0 : g0 + g_max]
-                    V1 = np.stack([p["frames"][0] for _, p in items])
-                    V2 = np.stack([p["frames"][1] for _, p in items])
-                    planes = [
-                        jnp.asarray(np.ascontiguousarray(a))
-                        for a in (V1.real, V1.imag, V2.real, V2.imag)
-                    ]
-                    J1 = jnp.asarray(
-                        np.stack([p["idx"][0] for _, p in items])
-                    )
-                    J2 = jnp.asarray(
-                        np.stack([p["idx"][1] for _, p in items])
-                    )
-                    Nr_s, Ni_s, det_s, *_ = splitc.pf_overlap_group_half(
-                        *planes, J1, J2
-                    )
-                    for t, (i, p) in enumerate(items):
-                        datas[i] = p["build"](
-                            Nr_s[t], Ni_s[t], det_s[t]
-                        ).queue()
+                    with profiling.stage("plan/group_stack"):
+                        V1 = np.stack([p["frames"][0] for _, p in items])
+                        V2 = np.stack([p["frames"][1] for _, p in items])
+                        planes = [
+                            jnp.asarray(np.ascontiguousarray(a))
+                            for a in (V1.real, V1.imag, V2.real, V2.imag)
+                        ]
+                        J1 = jnp.asarray(
+                            np.stack([p["idx"][0] for _, p in items])
+                        )
+                        J2 = jnp.asarray(
+                            np.stack([p["idx"][1] for _, p in items])
+                        )
+                    with profiling.stage("plan/group_dispatch"):
+                        Nr_s, Ni_s, det_s, *_ = splitc.pf_overlap_group_half(
+                            *planes, J1, J2
+                        )
+                    with profiling.stage("plan/queue"):
+                        for t, (i, p) in enumerate(items):
+                            datas[i] = p["build"](
+                                Nr_s[t], Ni_s[t], det_s[t]
+                            ).queue()
 
     # ---- materialisation pass: one fused download, then host scatters ----
     with profiling.stage("tensor_fill"):

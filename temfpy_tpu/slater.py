@@ -738,12 +738,23 @@ def _w4_grid() -> bool:
 
 def _stream_lookahead() -> bool:
     """Whether the streamed sweeps run the next block's eigh_batch (host
-    LAPACK + slab upload) in a one-block lookahead thread.  Default on;
-    TEMFPY_TPU_STREAM_LOOKAHEAD=0 disables (serial A/B), =1 forces it even
-    on CPU backends (used by the equivalence test)."""
+    LAPACK + slab upload) in a one-block lookahead thread.
+
+    Default: on only when the host has >= 2 CPU cores.  Measured on the
+    single-core tunnel host (L=1024/chi=512, 2026-08-18): the lookahead
+    REGRESSED the warm conversion 119.1 -> 142.3 s — the worker and the
+    main thread thrash the one core (every host stage inflated 2-3x) and
+    the GIL-released tunnel upload it was meant to hide is too small a
+    fraction to compensate.  TEMFPY_TPU_STREAM_LOOKAHEAD=0 disables,
+    =1 forces (equivalence tests, multi-core A/B)."""
     import os
 
-    return os.environ.get("TEMFPY_TPU_STREAM_LOOKAHEAD", "") != "0"
+    mode = os.environ.get("TEMFPY_TPU_STREAM_LOOKAHEAD", "")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    return (os.cpu_count() or 1) >= 2
 
 
 def _force_stream_lookahead() -> bool:
