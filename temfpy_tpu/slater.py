@@ -2435,8 +2435,28 @@ def _schmidt_vectors_batched(
                     col0_list[j] = c_f[t]
                     frame_list[j] = f_f[t]
 
+    # Fishman-White disentangling frontend (ops/fw.py): one O(L^2 w) sweep
+    # replaces the per-cut host eighs AND the dense frame-slab uploads (the
+    # frames materialise on device from the once-uploaded mode matrix).
+    # A failed sweep (gapless C) returns None and the exact frontend below
+    # takes over.
+    fw = False
+    if not rsf and not np.iscomplexobj(C):
+        from .ops.fw import fw_frames, use_fw
+        from .parallel.mesh import active_mesh as _am
+
+        if _am() is None and use_fw(C, L):
+            if C_host is None:
+                C_host = np.asarray(C)
+            with profiling.stage("eigh_batch"):
+                res = fw_frames(C_host, sizes, which, trunc_par.svd_min**2)
+            if res is not None:
+                host_mode = True
+                fw = True
+                e_list, col0_list, frame_list = res
+
     if host_mode:
-        if not rsf:
+        if not rsf and not fw:
             with profiling.stage("eigh_batch"):
                 e_list, col0_list, frame_list = _compact_sweep_frames(
                     C_host, sizes, which, trunc_par.svd_min**2, chunk

@@ -1,0 +1,186 @@
+"""Fishman-White frontend (ops/fw.py): parity with the exact per-cut eigh.
+
+The FW sweep replaces the reference's per-cut block eigendecompositions
+(reference slater.py:347, loop slater.py:1301-1346) with one O(L^2 w)
+disentangling sweep; these tests pin its numerical contract:
+
+- per-cut spectra and occupied frames match exact LAPACK eigh (both sides),
+- a full conversion under the FW frontend equals the exact-frontend one,
+- gapless input makes the sweep fall back (never silently degrade),
+- eigenvalues planted at the truncation cutoff survive the FW path
+  (the degenerate / cutoff-straddling regression VERDICT r3 item 2 asks for).
+"""
+
+import numpy as np
+import pytest
+
+from temfpy_tpu import slater
+from temfpy_tpu.ops import fw
+from temfpy_tpu.slater import _compact_sweep_frames
+
+import oracles
+
+
+def cylinder_H(L, W=4, dimer=0.3, mu=0.05):
+    """Gapped dimerized tight-binding cylinder (the bench.py model shape)."""
+    Lx = L // W
+    H = np.zeros((L, L))
+
+    def idx(x, y):
+        return x * W + y % W
+
+    for x in range(Lx):
+        for y in range(W):
+            if x + 1 < Lx:
+                t = -1.0 - dimer * (x % 2)
+                H[idx(x, y), idx(x + 1, y)] = t
+                H[idx(x + 1, y), idx(x, y)] = t
+            if W > 1:
+                H[idx(x, y), idx(x, y + 1)] = -1.0
+                H[idx(x, y + 1), idx(x, y)] = -1.0
+    return H - mu * np.eye(L)
+
+
+def ground_C(H):
+    e, v = np.linalg.eigh(H)
+    occ = v[:, e < 0]
+    return occ @ occ.T
+
+
+@pytest.fixture(autouse=True)
+def _fresh_cache():
+    fw.fw_clear_cache()
+    yield
+    fw.fw_clear_cache()
+
+
+@pytest.mark.parametrize("side", ["L", "R"])
+def test_fw_frames_match_exact_eigh(side):
+    L = 48
+    C = ground_C(cylinder_H(L, W=4))
+    cutoff = 1e-12
+    sizes = list(range(0, L + 1))
+    res = fw.fw_frames(C, sizes, side, cutoff)
+    assert res is not None, "sweep unexpectedly fell back on a gapped C"
+    e_list, col0_list, frames = res
+    eh, ch, fh = _compact_sweep_frames(C, sizes, side, cutoff, 64)
+    for i, x in enumerate(sizes):
+        np.testing.assert_allclose(
+            np.sort(e_list[i]), np.sort(eh[i]), atol=1e-10, rtol=0,
+            err_msg=f"{side} cut size {x}: spectrum",
+        )
+        Ff = np.asarray(frames[i])[:, : x - col0_list[i]]
+        Fh = np.asarray(fh[i])[:, : x - ch[i]]
+        assert Ff.shape == Fh.shape, f"{side} size {x}: occupied width"
+        if not x:
+            continue
+        # frames agree as weighted projectors (columns are gauge)
+        ef, ehh = e_list[i][col0_list[i]:], eh[i][ch[i]:]
+        dev = np.abs((Ff * ef) @ Ff.T - (Fh * ehh) @ Fh.T).max()
+        assert dev < 1e-9, f"{side} size {x}: projector dev {dev:.3e}"
+        # and are orthonormal bases.  Near-cutoff columns are normalised by
+        # 1/sqrt(lambda) (amplifying support tails by up to 1/sqrt(cutoff)),
+        # but every Schmidt vector occupying such an orbital carries weight
+        # sqrt(lambda), so the STATE-level Gram (columns scaled by
+        # sqrt(lambda)) is the binding contract.
+        ortho = np.abs(Ff.T @ Ff - np.eye(Ff.shape[1])).max()
+        assert ortho < 1e-6, f"{side} size {x}: orthonormality {ortho:.3e}"
+        Fw = Ff * np.sqrt(ef)
+        wdev = np.abs(Fw.T @ Fw - np.diag(ef)).max()
+        assert wdev < 1e-11, f"{side} size {x}: weighted Gram {wdev:.3e}"
+
+
+def test_fw_conversion_matches_exact_frontend(monkeypatch):
+    L = 48
+    H = cylinder_H(L, W=2)
+    # split the ladder's exact degeneracies: a tie at the truncation
+    # boundary would let the two frontends keep different (gauge-equivalent)
+    # subsets and the bond-dimension comparison below would be meaningless
+    rng = np.random.default_rng(7)
+    H += np.diag(1e-3 * rng.normal(size=L))
+    trunc = {"chi_max": 64, "svd_min": 1e-5}
+    # w0 = 16 < L: the sweep genuinely freezes windowed modes
+    monkeypatch.setenv("TEMFPY_TPU_FW_W0", "16")
+    monkeypatch.setenv("TEMFPY_TPU_FW", "0")
+    mps0 = slater.H_to_MPS(H, trunc)
+    monkeypatch.setenv("TEMFPY_TPU_FW", "1")
+    mps1 = slater.H_to_MPS(H, trunc)
+    for b in range(L + 1):
+        l0, l1 = np.sort(mps0._S[b]), np.sort(mps1._S[b])
+        assert l0.shape == l1.shape, f"bond {b} dimension"
+        np.testing.assert_allclose(l0, l1, atol=1e-9, rtol=0)
+    C0 = np.asarray(mps0.correlation_function("Cd", "C"))
+    C1 = np.asarray(mps1.correlation_function("Cd", "C"))
+    assert np.abs(C0 - C1).max() < 1e-8
+
+
+def test_fw_exact_fidelity_small(monkeypatch):
+    """At L <= w0 the window is the whole chain: FW must be numerically
+    exact; certify with the ED oracle."""
+    monkeypatch.setenv("TEMFPY_TPU_FW", "1")
+    L = 8
+    rng = np.random.default_rng(11)
+    H = rng.normal(size=(L, L))
+    H = (H + H.T) / 2
+    mps = slater.H_to_MPS(H, {"chi_max": 64})
+    psi = mps.to_statevector()
+    e, v = np.linalg.eigh(H)
+    psi_exact = oracles.slater_statevector(v[:, e < 0])
+    fid = np.abs(np.vdot(psi_exact, psi))
+    assert fid > 1 - 1e-10, f"fidelity {fid}"
+
+
+def test_fw_falls_back_on_delocalized(monkeypatch):
+    """A Haar-random occupied subspace has no localized modes: every
+    window's block spectrum stays strictly inside (0, 1), the sweep must
+    return None, and the caller falls back to the exact frontend (failure
+    detection, not silent degradation)."""
+    monkeypatch.setenv("TEMFPY_TPU_FW_W0", "8")
+    monkeypatch.setenv("TEMFPY_TPU_FW_WMAX", "16")
+    L = 48
+    rng = np.random.default_rng(5)
+    A = rng.normal(size=(L, L))
+    Q, _ = np.linalg.qr(A)
+    C = Q[:, : L // 2] @ Q[:, : L // 2].T
+    assert fw.fw_frames(C, [L // 2], "L", 1e-12) is None
+
+
+def test_fw_on_critical_chain(monkeypatch):
+    """Uniform half-filled hopping (critical): at finite L the window
+    blocks still hold near-frozen modes, so the sweep may legitimately
+    succeed — whichever path runs must reproduce the exact correlations."""
+    monkeypatch.setenv("TEMFPY_TPU_FW", "1")
+    monkeypatch.setenv("TEMFPY_TPU_FW_W0", "8")
+    monkeypatch.setenv("TEMFPY_TPU_FW_WMAX", "16")
+    L = 48
+    H = np.diag(-np.ones(L - 1), 1)
+    H = H + H.T
+    C = ground_C(H)
+    mps = slater.C_to_MPS(C, {"chi_max": 128})
+    got = np.asarray(mps.correlation_function("Cd", "C")).T
+    assert np.abs(got - C).max() < 1e-4
+
+
+@pytest.mark.parametrize("eps", [0.0, 1e-18, -1e-18])
+def test_fw_eigenvalue_at_cutoff(monkeypatch, eps):
+    """A local orbital planted exactly at the classification cutoff must
+    survive the FW path's Gram classification on both sides of the cut
+    (mirrors test_cutoff_reconciliation, but with WINDOWED orbitals so the
+    sweep genuinely freezes modes instead of degenerating to full eigh)."""
+    SVD_MIN = 1e-6
+    lam = SVD_MIN**2 * (1 + eps)
+    L = 48
+    monkeypatch.setenv("TEMFPY_TPU_FW", "1")
+    monkeypatch.setenv("TEMFPY_TPU_FW_W0", "8")
+    C = np.zeros((L, L))
+    rng = np.random.default_rng(3)
+    # local two-site orbitals tiling the chain, one straddling the center
+    # cut with left weight exactly 1 - lam
+    for a in range(0, L - 1, 2):
+        w = lam if a == L // 2 - 1 else rng.uniform(0.2, 0.8)
+        orb = np.zeros(L)
+        orb[a], orb[a + 1] = np.sqrt(1 - w), np.sqrt(w)
+        C += np.outer(orb, orb)
+    mps = slater.C_to_MPS(C, {"chi_max": 64, "svd_min": SVD_MIN})
+    got = np.asarray(mps.correlation_function("Cd", "C")).T
+    assert np.abs(got - C).max() < 1e-5
