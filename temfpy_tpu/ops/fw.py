@@ -88,8 +88,22 @@ def fw_w_max() -> int:
 
 
 def fw_tol() -> float:
-    """Max per-site frozen-mode error before the sweep gives up."""
+    """Per-site frozen-mode error targeted by the window widening."""
     return _env_float("TEMFPY_TPU_FW_TOL", 1e-11)
+
+
+def fw_accept_tol() -> float:
+    """Per-site error accepted once widening is exhausted (chain tails pin
+    the window at L - i, where errors accumulated from earlier freezes land
+    slightly above fw_tol; the state-level effect is the SUM of the frozen
+    errors, gated separately by fw_total_tol)."""
+    return _env_float("TEMFPY_TPU_FW_ATOL", 1e-9)
+
+
+def fw_total_tol() -> float:
+    """Budget on the summed frozen-mode error of the whole sweep; well below
+    the 1e-8 diagonalization contract and the 1e-6 Schmidt floor."""
+    return _env_float("TEMFPY_TPU_FW_TTOL", 1e-8)
 
 
 def fw_support_tol() -> float:
@@ -128,6 +142,7 @@ class FWModes:
     n: np.ndarray  # (L,) frozen occupations in {0, 1}
     P: np.ndarray  # (L+1, L) prefix weights: P[x, j] = sum(V[:x, j]**2)
     max_err: float
+    total_err: float = 0.0
     _dev: object = field(default=None, repr=False)
 
     def device_V(self):
@@ -139,16 +154,20 @@ class FWModes:
 
 def fw_disentangle(C, w0=None, w_max=None, err_tol=None):
     """One left-to-right sweep; returns FWModes or None (no window within
-    ``w_max`` isolates a mode to ``err_tol`` — gapless/critical input)."""
+    ``w_max`` isolates a mode to the acceptance gate, or the summed frozen
+    error exceeds its budget — gapless/critical input)."""
     w0 = w0 or fw_w0()
     w_max = w_max or fw_w_max()
     err_tol = err_tol if err_tol is not None else fw_tol()
+    accept_tol = max(fw_accept_tol(), err_tol)
+    total_tol = fw_total_tol()
     C = np.array(C, dtype=np.float64, order="C")
     L = C.shape[0]
     n_fermion = int(np.round(np.trace(C)))
     U = np.eye(L)  # accumulated reflectors: U C0 U^T ~ diag(n)
     n = np.zeros(L)
     max_err = 0.0
+    total_err = 0.0
     for i in range(L):
         wl = min(w0, L - i)
         while True:
@@ -159,11 +178,12 @@ def fw_disentangle(C, w0=None, w_max=None, err_tol=None):
             if dist[k] <= err_tol or wl >= min(w_max, L - i):
                 break
             wl = min(2 * wl, w_max, L - i)
-        if dist[k] > err_tol:
+        total_err += float(dist[k])
+        if dist[k] > accept_tol or total_err > total_tol:
             logger.info(
-                "FW sweep: site %d frozen error %.3e > %.1e at w=%d; "
-                "falling back to the exact frontend",
-                i, dist[k], err_tol, wl,
+                "FW sweep: site %d frozen error %.3e (sum %.3e) over the "
+                "%.1e/%.1e gates at w=%d; falling back to the exact frontend",
+                i, dist[k], total_err, accept_tol, total_tol, wl,
             )
             return None
         max_err = max(max_err, float(dist[k]))
@@ -194,7 +214,7 @@ def fw_disentangle(C, w0=None, w_max=None, err_tol=None):
     V = np.ascontiguousarray(U.T)
     P = np.zeros((L + 1, L))
     np.cumsum(V * V, axis=0, out=P[1:])
-    return FWModes(V=V, n=n, P=P, max_err=max_err)
+    return FWModes(V=V, n=n, P=P, max_err=max_err, total_err=total_err)
 
 
 # --------------------------------------------------------------------------

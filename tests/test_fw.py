@@ -105,13 +105,16 @@ def test_fw_conversion_matches_exact_frontend(monkeypatch):
     mps0 = slater.H_to_MPS(H, trunc)
     monkeypatch.setenv("TEMFPY_TPU_FW", "1")
     mps1 = slater.H_to_MPS(H, trunc)
+    # tolerance = the sweep's acceptance contract: per-site frozen error up
+    # to fw_accept_tol (1e-9), summed budget fw_total_tol (1e-8) — spectra
+    # and correlators may deviate at that level, never tighter is promised
     for b in range(L + 1):
         l0, l1 = np.sort(mps0._S[b]), np.sort(mps1._S[b])
         assert l0.shape == l1.shape, f"bond {b} dimension"
-        np.testing.assert_allclose(l0, l1, atol=1e-9, rtol=0)
+        np.testing.assert_allclose(l0, l1, atol=fw.fw_total_tol(), rtol=0)
     C0 = np.asarray(mps0.correlation_function("Cd", "C"))
     C1 = np.asarray(mps1.correlation_function("Cd", "C"))
-    assert np.abs(C0 - C1).max() < 1e-8
+    assert np.abs(C0 - C1).max() < 10 * fw.fw_total_tol()
 
 
 def test_fw_exact_fidelity_small(monkeypatch):
@@ -143,6 +146,27 @@ def test_fw_falls_back_on_delocalized(monkeypatch):
     Q, _ = np.linalg.qr(A)
     C = Q[:, : L // 2] @ Q[:, : L // 2].T
     assert fw.fw_frames(C, [L // 2], "L", 1e-12) is None
+
+
+def test_fw_tail_acceptance(monkeypatch):
+    """Chain tails pin the window at the remaining L - i sites, where
+    accumulated frozen noise can land marginally above the widening target
+    fw_tol (measured: 1.075e-11 at site 507 of the L=512 bench cylinder).
+    Sites between fw_tol and fw_accept_tol must be ACCEPTED — only the
+    summed budget or the acceptance gate aborts the sweep."""
+    # widening target impossibly tight: every site exceeds it, all are
+    # within the acceptance gate on this gapped C
+    monkeypatch.setenv("TEMFPY_TPU_FW_TOL", "1e-30")
+    monkeypatch.setenv("TEMFPY_TPU_FW_W0", "8")
+    C = ground_C(cylinder_H(48))
+    modes = fw.fw_disentangle(C)
+    assert modes is not None, "acceptance gate should rescue tight fw_tol"
+    rec = (modes.V * modes.n) @ modes.V.T
+    assert np.abs(rec - C).max() < 1e-4
+    assert modes.total_err <= fw.fw_total_tol()
+    # but a total budget below the accumulated error must abort
+    monkeypatch.setenv("TEMFPY_TPU_FW_TTOL", "1e-300")
+    assert fw.fw_disentangle(C) is None
 
 
 def test_fw_on_critical_chain(monkeypatch):
