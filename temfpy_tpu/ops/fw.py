@@ -75,7 +75,12 @@ def fw_mode() -> str:
 
 
 def fw_min_L() -> int:
-    return _env_int("TEMFPY_TPU_FW_MIN_L", 256)
+    """Auto-on threshold.  Measured crossover on the TPU tunnel
+    (BASELINE.md round 4): the exact compact frontend wins at L=256
+    (19.5 s vs 28.3 s) and ties at L=512 (47.4 vs 48.1); FW wins at
+    L=1024 (100.6 vs 119.1) where the frame-slab upload and the O(L^4)
+    host LAPACK total dominate the exact path."""
+    return _env_int("TEMFPY_TPU_FW_MIN_L", 768)
 
 
 def fw_w0() -> int:
@@ -112,8 +117,20 @@ def fw_support_tol() -> float:
 
 
 def fw_slab() -> int:
-    """Cuts per device frame slab (memory/compile granularity)."""
-    return _env_int("TEMFPY_TPU_FW_SLAB", 16)
+    """Cuts per device frame slab (memory/compile granularity).  The
+    default matches the stream's eigh_chunk block, so a block is one
+    kernel dispatch + two uploads."""
+    return _env_int("TEMFPY_TPU_FW_SLAB", 64)
+
+
+def fw_sync() -> bool:
+    """Block on the frame chain before returning from the frontend (see
+    fw_frames).  Default ON: leaving the chain queued lets the in-process
+    tunnel client stream it DURING the fill's host planning, inflating
+    every host stage on a single-core host (measured +9 s at L=256,
+    BASELINE.md round 4); =0 restores the overlapped dispatch for
+    multi-core hosts."""
+    return _env_int("TEMFPY_TPU_FW_SYNC", 1) == 1
 
 
 def use_fw(C, L: int) -> bool:
@@ -211,6 +228,13 @@ def fw_disentangle(C, w0=None, w_max=None, err_tol=None):
             int(n.sum()), n_fermion,
         )
         return None
+    # NOTE a Wannier re-localization of the filled modes (diagonalizing the
+    # filled-subspace position operator, which leaves C ~ V_f V_f^T
+    # invariant) was tried here and REVERTED: on the bench cylinder several
+    # transverse channels are partially filled (quasi-gapless), the Wannier
+    # tails stay power-law (min-side weight 4e-4 at rank 200 of 262), the
+    # crossing sets do not shrink, and the extra (nf, nf) eigh plus a
+    # denser V slowed the frontend 2x (BASELINE.md round 4).
     V = np.ascontiguousarray(U.T)
     P = np.zeros((L + 1, L))
     np.cumsum(V * V, axis=0, out=P[1:])
@@ -251,18 +275,29 @@ def _pow2(n, lo):
     return b
 
 
-@partial(jax.jit, static_argnames=("side", "L"))
-def _fw_frame_slab(Vd, Xidx, Cmat, Fidx, colmap, xs, *, side, L):
+@partial(jax.jit, static_argnames=("side", "L", "B", "kb", "fb", "Wb"))
+def _fw_frame_slab(Vd, flat, Cmat, *, side, L, B, kb, fb, Wb):
     """Materialise a slab of per-cut eigenvector frames from the resident
     mode matrix.
 
-    Vd (L, L): columns = modes.  Per cut b: Xidx (kb,) crossing-filled
-    column indices (pad 0 — the matching Cmat rows are zero); Cmat
-    (kb, keb) Gram eigenvector coefficients (columns = entangled frame
-    columns, ascending eigenvalue); Fidx (fb,) one-sided filled column
-    indices (pad -1 -> zero column); colmap (Wb,) final column order
-    (ascending block eigenvalue: Gram columns then filled; pad keb+fb ->
-    zero column); xs block size (rows outside the block are masked)."""
+    Vd (L, L): columns = modes.  ``flat`` is ONE fused int32 upload
+    (uploads over the TPU tunnel pay a ~ms round trip EACH; five small
+    transfers per slab dominated the fw/kernel stage) holding, per cut b:
+    Xidx (kb,) crossing-filled column indices (pad 0 — the matching Cmat
+    rows are zero); Fidx (fb,) one-sided filled column indices (pad -1 ->
+    zero column); colmap (Wb,) final column order (ascending block
+    eigenvalue: Gram columns then filled; pad keb+fb -> zero column);
+    xs (1,) block size (rows outside the block are masked).  Cmat
+    (B, kb, keb): Gram eigenvector coefficients (columns = entangled
+    frame columns, ascending eigenvalue)."""
+    off = 0
+    Xidx = flat[:, off : off + kb]
+    off += kb
+    Fidx = flat[:, off : off + fb]
+    off += fb
+    colmap = flat[:, off : off + Wb]
+    off += Wb
+    xs = flat[:, off]
     rows = jnp.arange(L)
     if side == "L":
         mask = rows[None, :] < xs[:, None]  # (B, L)
@@ -277,43 +312,112 @@ def _fw_frame_slab(Vd, Xidx, Cmat, Fidx, colmap, xs, *, side, L):
     return jnp.take_along_axis(mid, colmap[:, None, :], axis=2)
 
 
-def _cut_data(modes: FWModes, size: int, side: str, cutoff: float):
-    """Host classification + Gram eigh of one cut.
+def _cut_data_batch(modes: FWModes, sizes, side: str, cutoff: float):
+    """Host classification + Gram eigh of a block of cuts, batched.
 
-    Returns (e_full, col0, Xidx, coef, Fidx) — coef columns ascending by
-    Gram eigenvalue; frame columns = [Gram combos asc | one-sided filled]."""
+    Returns a list of (e_full, col0, Xidx, coef, Fidx) per cut — coef
+    columns ascending by Gram eigenvalue; frame columns =
+    [Gram combos asc | one-sided filled].
+
+    The per-cut Gram ``W_F(x)^T W_F(x)`` is NOT formed from per-cut column
+    gathers + GEMMs (O(L^2 w) host copies per block — 12 s of the L=1024
+    run): the cuts of a block are nested, so one incremental prefix Gram
+    over the block's UNION crossing set serves every cut (each row of V
+    enters the accumulation once), and the per-cut small eighs run as ONE
+    identity-padded batched ``np.linalg.eigh`` call."""
     L = modes.V.shape[0]
     s = fw_support_tol()
-    if side == "L":
-        wB = modes.P[size]  # block-side weight per mode
-    else:
-        wB = modes.P[L] - modes.P[L - size]
-    wO = modes.P[L] - wB  # other-side weight
-    filled = modes.n > 0.5
-    cross = (wB > s) & (wO > s)
-    F = np.nonzero(cross & filled)[0]
-    one_sided = np.nonzero(filled & (wO <= s) & (wB > s))[0]
-    rows = slice(None, size) if side == "L" else slice(L - size, None)
-    if F.size:
-        WF = modes.V[rows, F]  # (size, kf)
-        G = WF.T @ WF
-        lam, Ug = np.linalg.eigh(G)
-        lam = np.clip(lam, 0.0, 1.0)
-        keep = lam > cutoff
-        lam_keep = lam[keep]
-        coef = Ug[:, keep] / np.sqrt(np.maximum(lam[keep], cutoff))
-    else:
-        lam_keep = np.zeros(0)
-        coef = np.zeros((0, 0))
-    e_occ = np.concatenate([lam_keep, np.ones(one_sided.size)])
-    col0 = size - e_occ.size
-    assert col0 >= 0, (
-        f"FW cut bookkeeping: {e_occ.size} occupied columns in a "
-        f"{size}-dim block"
-    )
-    e_full = np.zeros(size)
-    e_full[col0:] = e_occ
-    return e_full, col0, F, coef, one_sided
+    sizes = np.asarray(sizes, dtype=np.int64)
+    n = len(sizes)
+    with profiling.stage("fw/cuts_classify"):
+        # classification, all cuts at once: per-mode block-side weight
+        if side == "L":
+            wB = modes.P[sizes]  # (n, L)
+        else:
+            wB = modes.P[L][None] - modes.P[L - sizes]
+        wO = modes.P[L][None] - wB
+        filled = modes.n > 0.5
+        cross_m = (wB > s) & (wO > s) & filled[None]  # (n, L)
+        ones_m = filled[None] & (wO <= s) & (wB > s)
+
+    # union crossing set of the block + incremental prefix Gram at each
+    # distinct block size (rows enter ascending for "L", descending-from-
+    # the-end for "R")
+    with profiling.stage("fw/cuts_prefix"):
+        (Fu,) = np.nonzero(cross_m.any(axis=0))
+        cumG = {}
+        if Fu.size:
+            order = np.argsort(sizes, kind="stable")
+            G = np.zeros((Fu.size, Fu.size))
+            prev = 0
+            for t in order:
+                x = int(sizes[t])
+                if x > prev:
+                    rows = (
+                        modes.V[prev:x, Fu]
+                        if side == "L"
+                        else modes.V[L - x : L - prev, Fu]
+                    )
+                    G += rows.T @ rows
+                    prev = x
+                if x not in cumG:
+                    cumG[x] = G.copy()
+        pos_in_Fu = np.full(L, -1, np.int64)
+        pos_in_Fu[Fu] = np.arange(Fu.size)
+
+    # identity-padded batched eighs, one per pow2(kf) bucket (a single
+    # block-wide pad would cost the edge blocks ~the union size cubed).
+    # Padding eigenvalues sit at 2 > 1 >= every true Gram eigenvalue, so
+    # the true pairs are the FIRST kf of the ascending output and their
+    # vectors have no support on the padding rows.
+    Fs = [np.nonzero(cross_m[t])[0] for t in range(n)]
+    lam_of = [None] * n
+    coef_of = [None] * n
+    buckets: dict[int, list[int]] = {}
+    for t, F in enumerate(Fs):
+        if F.size:
+            # ceil-to-64 grid: pow2 pads a kf=520 Gram to 1024 (8x flops)
+            buckets.setdefault(-(-F.size // 64) * 64, []).append(t)
+    with profiling.stage("fw/cuts_eigh"):
+        for kfb, ts in buckets.items():
+            Gb = np.tile(2.0 * np.eye(kfb), (len(ts), 1, 1))
+            for j, t in enumerate(ts):
+                F = Fs[t]
+                sel = pos_in_Fu[F]
+                Gb[j, : F.size, : F.size] = cumG[int(sizes[t])][
+                    np.ix_(sel, sel)
+                ]
+            lam_b, Ug_b = np.linalg.eigh(Gb)
+            lam_b = np.clip(lam_b, 0.0, 1.0)
+            for j, t in enumerate(ts):
+                lam_of[t] = lam_b[j]
+                coef_of[t] = Ug_b[j]
+
+    out = []
+    for t in range(n):
+        size = int(sizes[t])
+        F = Fs[t]
+        one_sided = np.nonzero(ones_m[t])[0]
+        if F.size:
+            lam = lam_of[t][: F.size]
+            keep = lam > cutoff
+            lam_keep = lam[keep]
+            coef = coef_of[t][: F.size, : F.size][:, keep] / np.sqrt(
+                np.maximum(lam_keep, cutoff)
+            )
+        else:
+            lam_keep = np.zeros(0)
+            coef = np.zeros((0, 0))
+        e_occ = np.concatenate([lam_keep, np.ones(one_sided.size)])
+        col0 = size - e_occ.size
+        assert col0 >= 0, (
+            f"FW cut bookkeeping: {e_occ.size} occupied columns in a "
+            f"{size}-dim block"
+        )
+        e_full = np.zeros(size)
+        e_full[col0:] = e_occ
+        out.append((e_full, col0, F, coef, one_sided))
+    return out
 
 
 def fw_frames(C_host, sizes, side, cutoff, chunk=None):
@@ -330,47 +434,64 @@ def fw_frames(C_host, sizes, side, cutoff, chunk=None):
     Vd = modes.device_V()
 
     es, col0s, frames = [], [], []
+    with profiling.stage("fw/cuts"):
+        all_cuts = _cut_data_batch(modes, sizes, side, cutoff)
+    # ONE width family per fw_frames call (the stream's eigh_chunk block):
+    # per-slab buckets fragment the downstream overlap groups, whose key
+    # includes the frame SHAPES — a 16-cut slab granularity cost the L=512
+    # fill ~2x in det_stack (per-site operand stacks instead of one gather
+    # per group, BASELINE.md round 4)
+    kb = _pow2(max((c[2].size for c in all_cuts), default=1), 8)
+    keb = _pow2(max((c[3].shape[1] for c in all_cuts), default=1), 8)
+    fb = _pow2(max((c[4].size for c in all_cuts), default=1), 8)
+    Wb = _pow2(
+        max((c[3].shape[1] + c[4].size for c in all_cuts), default=1), 8
+    )
+    from ..slater import _take_frame
+
     for j0 in range(0, n, B):
-        sl = [int(x) for x in sizes[j0 : j0 + B]]
-        with profiling.stage("fw/cuts"):
-            cuts = [_cut_data(modes, x, side, cutoff) for x in sl]
+        cuts = all_cuts[j0 : j0 + B]
         with profiling.stage("fw/pack"):
-            kb = _pow2(max((c[2].size for c in cuts), default=1), 8)
-            keb = _pow2(max((c[3].shape[1] for c in cuts), default=1), 8)
-            fb = _pow2(max((c[4].size for c in cuts), default=1), 8)
-            Wb = _pow2(
-                max((c[3].shape[1] + c[4].size for c in cuts), default=1), 8
-            )
-            # slab count padded to B: one executable per shape family
-            Xidx = np.zeros((B, kb), np.int32)
+            # slab count padded to B: one executable per shape family;
+            # all int32 fields fused into ONE upload buffer per slab
+            flat = np.zeros((B, kb + fb + Wb + 1), np.int32)
             Cmat = np.zeros((B, kb, keb), modes.V.dtype)
-            Fidx = np.full((B, fb), -1, np.int32)
-            colmap = np.full((B, Wb), keb + fb, np.int32)
-            xs = np.zeros(B, np.int32)
+            flat[:, kb : kb + fb] = -1
+            flat[:, kb + fb : kb + fb + Wb] = keb + fb
             for t, (e_full, col0, F, coef, one_sided) in enumerate(cuts):
                 m = coef.shape[1]
                 f = one_sided.size
-                Xidx[t, : F.size] = F
+                flat[t, : F.size] = F
                 Cmat[t, : F.size, :m] = coef
-                Fidx[t, :f] = one_sided
-                colmap[t, :m] = np.arange(m)
-                colmap[t, m : m + f] = keb + np.arange(f)
-                xs[t] = sl[t]
+                flat[t, kb : kb + f] = one_sided
+                flat[t, kb + fb : kb + fb + m] = np.arange(m)
+                flat[t, kb + fb + m : kb + fb + m + f] = keb + np.arange(f)
+                flat[t, kb + fb + Wb] = len(e_full)
         with profiling.stage("fw/kernel"):
             slab = _fw_frame_slab(
                 Vd,
-                jnp.asarray(Xidx),
+                jnp.asarray(flat),
                 jnp.asarray(Cmat),
-                jnp.asarray(Fidx),
-                jnp.asarray(colmap),
-                jnp.asarray(xs),
                 side=side,
                 L=L,
+                B=B,
+                kb=kb,
+                fb=fb,
+                Wb=Wb,
             )
-        from ..slater import _take_frame
-
         for t, (e_full, col0, *_rest) in enumerate(cuts):
             es.append(e_full)
             col0s.append(col0)
             frames.append(_take_frame(slab, jnp.asarray(t, jnp.int32)))
+    if fw_sync() and frames:
+        # drain the frame-materialisation chain before the fill's host
+        # planning starts: on a single-core host the in-process tunnel
+        # client streaming the queued slab kernels/gathers competes with
+        # planning for the one core (same mechanism as the stream-lookahead
+        # negative result, BASELINE.md round 4).  ONE sync on the last
+        # dispatched gather suffices (single-stream in-order execution);
+        # per-frame blocking costs a tunnel round trip EACH (measured
+        # 18.7 s for 512 frames at L=512).
+        with profiling.stage("fw/drain"):
+            frames[-1].block_until_ready()
     return es, col0s, frames
