@@ -813,6 +813,19 @@ def _take_frame(batch, i):
     return batch[i]
 
 
+@partial(jax.jit, static_argnames=("n",))
+def _slice_flat(buf, off, *, n):
+    """Static-length slice of the fused plan buffer (traced offset: one
+    executable per length family)."""
+    return jax.lax.dynamic_slice(buf, (off,), (n,))
+
+
+@partial(jax.jit, static_argnames=("g", "n"))
+def _slice_flat_group(buf, off, *, g, n):
+    """(g, n) block of the fused plan buffer in one dispatch."""
+    return jax.lax.dynamic_slice(buf, (off,), (g * n,)).reshape(g, n)
+
+
 def _site_overlap_impl(
     frame_b, frame_k, colb, kindb, rowb, signb, colk, kindk, rowk, signk,
     *, kb: int, mode: str,
@@ -2033,15 +2046,47 @@ def build_site_tensors(pairs):
     def _accumulate(i, T):
         acc[i] = T if i not in acc else acc[i] + T
 
+    # ONE fused upload for every group's flat plan buffer: per-group
+    # jnp.asarray uploads pay a tunnel round trip EACH (~275 uploads = 6 s
+    # of the L=256 headline, 16-47 s at L=1024; BASELINE.md round 4).
+    # Each group gets a static-shape device slice of the block's buffer.
+    flat_layout: dict = {}
+    rows_layout: dict = {}
+    if fill_groups:
+        segs = []
+        off = 0
+        for key, entries in fill_groups.items():
+            fls = [fill_plans[i][3][j]["flat"] for i, j in entries]
+            ln = int(fls[0].shape[0])
+            flat_layout[key] = (off, len(fls), ln)
+            segs.extend(fls)
+            off += len(fls) * ln
+            if len(entries) > 1:
+                srcs = {id(group_of[i][0]) if group_of[i] else None
+                        for i, _ in entries}
+                if len(srcs) == 1 and group_of[entries[0][0]] is not None:
+                    # shared overlap-group stack: the gather rows ride the
+                    # same fused buffer (one upload per block, not one per
+                    # group)
+                    r = np.asarray(
+                        [group_of[i][2] for i, _ in entries], np.int32
+                    )
+                    rows_layout[key] = (off, len(r))
+                    segs.append(r)
+                    off += len(r)
+        with profiling.stage("fill/det_stack"):
+            flat_all = jnp.asarray(np.concatenate(segs))
+        del segs
+
     _fg = profiling.stage("fill/det_groups")
     _fg.__enter__()
     for key, entries in fill_groups.items():
         shape_b, P_b, ob_shape, ok_shape, spec = key[:5]
         if len(entries) == 1:
             i, j = entries[0]
-            plan = fill_plans[i][3][j]
             with profiling.stage("fill/det_stack"):
-                flat = jnp.asarray(plan["flat"])
+                o, _, ln = flat_layout[key]
+                flat = _slice_flat(flat_all, o, n=ln)
             with profiling.stage("fill/det_dispatch"):
                 T = _det_fill_fused_kernel(
                     datas[i].sometimes_matrix, datas[i].det_always, flat,
@@ -2051,14 +2096,11 @@ def build_site_tensors(pairs):
             _accumulate(i, T)
         else:
             with profiling.stage("fill/det_stack"):
-                srcs = {id(group_of[i][0]) if group_of[i] else None
-                        for i, _ in entries}
-                if len(srcs) == 1 and group_of[entries[0][0]] is not None:
+                if key in rows_layout:
                     # all sites share one overlap-group stack: gather
                     som_s, det_s, _ = group_of[entries[0][0]]
-                    rows_ = jnp.asarray(
-                        [group_of[i][2] for i, _ in entries], jnp.int32
-                    )
+                    o2, g2 = rows_layout[key]
+                    rows_ = _slice_flat(flat_all, o2, n=g2)
                     M = som_s[rows_]
                     det = det_s[rows_]
                 else:
@@ -2068,10 +2110,8 @@ def build_site_tensors(pairs):
                     det = jnp.stack(
                         [datas[i].det_always for i, _ in entries]
                     )
-                flat = jnp.asarray(
-                    np.stack([fill_plans[i][3][j]["flat"]
-                              for i, j in entries])
-                )
+                o, g, ln = flat_layout[key]
+                flat = _slice_flat_group(flat_all, o, g=g, n=ln)
             with profiling.stage("fill/det_dispatch"):
                 T_s = _det_fill_fused_group(
                     M, det, flat, ob_shape=ob_shape, ok_shape=ok_shape,
