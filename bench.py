@@ -216,7 +216,11 @@ def main():
     p.add_argument("--chi", type=int, default=512)
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument("--dtype", default="f64", choices=["f64", "f32"])
-    p.add_argument("--repeat", type=int, default=2)
+    # default 3 = one cold + TWO warm runs per config; `value` takes the best
+    # warm run.  The shared host's throughput swings 2-3x by time of day
+    # (BASELINE.md round-4 variance caveat) — with a single warm run the
+    # recorded number is a coin flip on the window.
+    p.add_argument("--repeat", type=int, default=3)
     p.add_argument("--width", type=int, default=8, help="cylinder circumference")
     p.add_argument("--verbose", action="store_true")
     p.add_argument(
