@@ -33,14 +33,20 @@ LAPACK (8.7 s).  This frontend uploads the (L, L) mode matrix once and
 runs one small batched einsum per cut block.
 
 Numerical contract: identical to the exact per-cut eigh up to the frozen
-error (gated at ``fw_tol`` per site, adaptively widening the window) and
-the support tail ``fw_support_tol``.  Near-cutoff eigenvector columns are
+error.  The window widens adaptively until the per-site error reaches
+``fw_tol``; once widening is exhausted (chain tails pin the window at
+L - i), per-site errors up to ``fw_accept_tol`` are ACCEPTED as long as
+the running SUM of all frozen errors stays within the ``fw_total_tol``
+budget (which scales with L, see :func:`fw_total_tol`) — the state-level
+effect of the truncations is bounded by that sum.  The support tail is
+gated by ``fw_support_tol``.  Near-cutoff eigenvector columns are
 normalised by 1/sqrt(lambda), amplifying tail noise by up to
 1/sqrt(cutoff) — but any Schmidt vector occupying such an orbital carries
 weight sqrt(lambda), so the amplification cancels at the state level.
-Gapless / critical correlation matrices where no window reaches ``fw_tol``
-make ``fw_disentangle`` return None and the caller falls back to the
-compact host frontend (failure detection, not silent degradation).
+Gapless / critical correlation matrices where a site's error exceeds
+``fw_accept_tol`` or the summed budget make ``fw_disentangle`` return
+None and the caller falls back to the compact host frontend (failure
+detection, not silent degradation).
 """
 
 from __future__ import annotations
@@ -105,10 +111,19 @@ def fw_accept_tol() -> float:
     return _env_float("TEMFPY_TPU_FW_ATOL", 1e-9)
 
 
-def fw_total_tol() -> float:
-    """Budget on the summed frozen-mode error of the whole sweep; well below
-    the 1e-8 diagonalization contract and the 1e-6 Schmidt floor."""
-    return _env_float("TEMFPY_TPU_FW_TTOL", 1e-8)
+def fw_total_tol(L: int | None = None) -> float:
+    """Budget on the summed frozen-mode error of the whole sweep; at the
+    1e-8 diagonalization contract for L <= 1024 and scaling linearly above
+    (the summed error grows roughly linearly with L at fixed per-site
+    quality, so a fixed budget would spuriously fail legitimately gapped
+    long chains), still well below the 1e-6 Schmidt floor.  An explicitly
+    set TEMFPY_TPU_FW_TTOL is taken verbatim (no L floor) — the knob is
+    the operator override."""
+    if "TEMFPY_TPU_FW_TTOL" in os.environ:
+        return _env_float("TEMFPY_TPU_FW_TTOL", 1e-8)
+    if L is None:
+        return 1e-8
+    return max(1e-8, L * 1e-11)
 
 
 def fw_support_tol() -> float:
@@ -177,9 +192,9 @@ def fw_disentangle(C, w0=None, w_max=None, err_tol=None):
     w_max = w_max or fw_w_max()
     err_tol = err_tol if err_tol is not None else fw_tol()
     accept_tol = max(fw_accept_tol(), err_tol)
-    total_tol = fw_total_tol()
     C = np.array(C, dtype=np.float64, order="C")
     L = C.shape[0]
+    total_tol = fw_total_tol(L)
     n_fermion = int(np.round(np.trace(C)))
     U = np.eye(L)  # accumulated reflectors: U C0 U^T ~ diag(n)
     n = np.zeros(L)
@@ -197,7 +212,10 @@ def fw_disentangle(C, w0=None, w_max=None, err_tol=None):
             wl = min(2 * wl, w_max, L - i)
         total_err += float(dist[k])
         if dist[k] > accept_tol or total_err > total_tol:
-            logger.info(
+            # the summed-budget trip (per-site error fine, budget not) is
+            # the surprising one — surface it at WARNING, not INFO
+            log = logger.warning if dist[k] <= accept_tol else logger.info
+            log(
                 "FW sweep: site %d frozen error %.3e (sum %.3e) over the "
                 "%.1e/%.1e gates at w=%d; falling back to the exact frontend",
                 i, dist[k], total_err, accept_tol, total_tol, wl,
@@ -436,14 +454,16 @@ def fw_frames(C_host, sizes, side, cutoff, chunk=None):
     es, col0s, frames = [], [], []
     with profiling.stage("fw/cuts"):
         all_cuts = _cut_data_batch(modes, sizes, side, cutoff)
-    # ONE width family per fw_frames call (the stream's eigh_chunk block):
-    # per-slab buckets fragment the downstream overlap groups, whose key
-    # includes the frame SHAPES — a 16-cut slab granularity cost the L=512
-    # fill ~2x in det_stack (per-site operand stacks instead of one gather
-    # per group, BASELINE.md round 4)
-    kb = _pow2(max((c[2].size for c in all_cuts), default=1), 8)
-    keb = _pow2(max((c[3].shape[1] for c in all_cuts), default=1), 8)
-    fb = _pow2(max((c[4].size for c in all_cuts), default=1), 8)
+    # ONE frame-width family (Wb) per fw_frames call (the stream's
+    # eigh_chunk block): per-slab Wb buckets fragment the downstream overlap
+    # groups, whose key includes the frame SHAPES — a 16-cut slab
+    # granularity cost the L=512 fill ~2x in det_stack (per-site operand
+    # stacks instead of one gather per group, BASELINE.md round 4).  The
+    # INTERNAL widths kb/keb/fb do NOT feed that key (the slab output is
+    # (B, L, Wb) regardless), so they are sized per slab: a call-wide pow2
+    # of the block maximum made every tail slab carry the mid-chain Gram
+    # width — at L >= 1024 (kf ~ 529 -> kb = keb = 1024) that is ~512 MB of
+    # Cmat uploaded per slab even for slabs whose crossing sets are tiny.
     Wb = _pow2(
         max((c[3].shape[1] + c[4].size for c in all_cuts), default=1), 8
     )
@@ -451,6 +471,9 @@ def fw_frames(C_host, sizes, side, cutoff, chunk=None):
 
     for j0 in range(0, n, B):
         cuts = all_cuts[j0 : j0 + B]
+        kb = _pow2(max((c[2].size for c in cuts), default=1), 8)
+        keb = _pow2(max((c[3].shape[1] for c in cuts), default=1), 8)
+        fb = _pow2(max((c[4].size for c in cuts), default=1), 8)
         with profiling.stage("fw/pack"):
             # slab count padded to B: one executable per shape family;
             # all int32 fields fused into ONE upload buffer per slab

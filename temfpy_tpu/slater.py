@@ -2058,6 +2058,13 @@ def build_site_tensors(pairs):
         for key, entries in fill_groups.items():
             fls = [fill_plans[i][3][j]["flat"] for i, j in entries]
             ln = int(fls[0].shape[0])
+            # the group key (bucketed shapes + spec) determines the flat
+            # length; _slice_flat_group would silently mis-slice into the
+            # neighbouring groups' data if that ever stopped holding
+            assert all(f.shape[0] == ln for f in fls), (
+                "fill group mixes flat-plan lengths: "
+                f"{sorted({int(f.shape[0]) for f in fls})}"
+            )
             flat_layout[key] = (off, len(fls), ln)
             segs.extend(fls)
             off += len(fls) * ln
