@@ -626,6 +626,7 @@ def block_svd(
     vR,
     e,
     degeneracy_tol: float = 1e-12,
+    overwrite: bool = True,
 ):
     r"""Completes a singular-value decomposition of ``CLR`` whose left/right
     singular vectors ``vL``/``vR`` are known only up to rotations within
@@ -637,8 +638,10 @@ def block_svd(
     vectors.
 
     Returns the rotated ``(vL, vR)`` as jax arrays (functional — inputs are
-    not mutated, unlike the reference which overwrites in place).
+    never mutated; ``overwrite`` is accepted for signature parity with the
+    reference, whose in-place update is meaningless for device arrays).
     """
+    del overwrite  # API parity only; device arrays are immutable
     e = np.asarray(e)
     assert vL.shape[1] == vR.shape[1] == e.size, "eigenvalue/vector count mismatch"
     if not complex_on_device() and any(

@@ -147,18 +147,37 @@ def to_stopping_condition(trunc_par) -> StoppingCondition:
     )
 
 
-def _lowest_sums_batched(a, trunc_par, base_set, base_sum):
-    """Vectorised enumeration for the trivial-sector case.
+# test escape hatch: False routes every enumeration through the reference
+# heap implementation (parity comparisons in tests/test_schmidt_utils.py)
+_USE_BATCHED = True
 
-    The heap in :func:`lowest_sums` collects every subset (all pass the
-    sector filter here) in increasing-sum order until ``len > chi_max`` or
-    the log-range exceeds ``max_logval``; :meth:`StoppingCondition.truncate`
-    then cuts.  Both stopping rules depend only on the MULTISET of sums, so
-    the same result follows from generating all flip-subsets with cost-sum
-    <= max_logval, capped at the chi_max+1 smallest (ties kept — truncate
-    never cuts inside a tie group, so surplus tie members never change the
-    cut), and sorting.  One rank-by-rank numpy merge replaces ~chi heap
-    pops of Python: S' = [S, S + cost_k], pruned by bound and cap.
+
+def _lowest_sums_batched(a, trunc_par, base_set, base_sum, charge_of=None):
+    """Vectorised enumeration replacing the heap of :func:`lowest_sums`.
+
+    The heap collects every sector-passing subset in increasing-sum order
+    until ``len > chi_max`` or the log-range of the KEPT sums exceeds
+    ``max_logval``; :meth:`StoppingCondition.truncate` then cuts.  Both
+    stopping rules depend only on the MULTISET of kept sums, so the same
+    result follows from generating all flip-subsets with cost-sum <= a sound
+    bound, filtering by sector, capping at the chi_max+1 smallest kept (ties
+    kept — truncate never cuts inside a tie group, so surplus tie members
+    never change the cut), and sorting.  One rank-by-rank numpy merge
+    replaces ~chi heap pops of Python: S' = [S, S + cost_k], pruned by
+    bound and cap.
+
+    Sector handling (``charge_of`` maps a subset's flip-charge delta to its
+    charge; None = keep everything): the subset charge depends only on the
+    net occupation change of the flips, so the merge tracks an int charge
+    alongside each partial sum and looks the sector predicate up in a
+    precomputed table over the <= 2m+1 reachable charges.  The sound bound
+    on generated sums is ``S0_kept + max_logval`` where S0_kept is the
+    smallest KEPT sum; it is found by restarting the merge with a doubled
+    bound while no kept subset has appeared (the heap's analogue: it pops
+    unfiltered candidates until the first sector match).  The cap prunes
+    candidates (kept or not) above the chi_max+1-th smallest kept sum —
+    children sums only grow, so nothing prunable can produce a needed
+    descendant.
 
     Subsets that tie exactly may appear in a different relative order than
     the heap's insertion order; the enumerated set, the sums, and the
@@ -169,36 +188,111 @@ def _lowest_sums_batched(a, trunc_par, base_set, base_sum):
     m = a.size
     order = np.argsort(np.abs(a))
     costs = np.abs(a)[order]
-    bound = trunc_par.max_logval
     cap = None if trunc_par.chi_max is None else trunc_par.chi_max + 1
 
-    S = np.zeros(1)
-    F = np.zeros(1, np.uint64)  # flip bitmasks in rank space (m <= 63)
-    for k in range(m):
-        c = costs[k]
-        if c > bound:
-            break  # costs ascend: no later rank fits either
-        S2 = S + c
-        keep2 = S2 <= bound
-        if not keep2.any():
-            continue
-        S = np.concatenate([S, S2[keep2]])
-        F = np.concatenate([F, F[keep2] | np.uint64(1 << k)])
-        if cap is not None and len(S) > cap:
-            # keep the cap smallest plus every exact tie of the cap-th
-            kth = np.partition(S, cap - 1)[cap - 1]
-            keep = S <= kth
-            S = S[keep]
-            F = F[keep]
+    if charge_of is None:
+        kept_of = None
+        delta = None
+        q0 = 0
+    else:
+        # flip of rank k toggles occupation at position order[k]:
+        # +1 particle if the base leaves it empty, -1 if filled
+        delta = np.where(base_set[order], -1, 1).astype(np.int64)
+        q0 = 0  # charge delta of the base subset
+        lo = int(np.minimum(delta, 0).sum())
+        hi = int(np.maximum(delta, 0).sum())
+        qs = np.arange(lo, hi + 1)
+        kept_lookup = np.asarray(
+            [bool(trunc_par.is_sector(charge_of(int(q)))) for q in qs]
+        )
+        kept_of = lambda N: kept_lookup[N - lo]  # noqa: E731
+
+    total = float(costs.sum())
+    bound_ml = trunc_par.max_logval
+    B = bound_ml  # iterative-deepening generation bound
+
+    W = max(1, -(-m // 64))  # words per flip bitmask
+    while True:
+        S = np.zeros(1)
+        F = np.zeros((1, W), np.uint64)  # flip bitmasks in rank space
+        N = np.full(1, q0, np.int64)  # charge deltas (sector case only)
+        s0_kept = None  # smallest kept sum (final once seen: sums of
+        # candidates created later only grow within a rank, but a later
+        # rank can create a smaller kept sum — hence the running min,
+        # exact by the end of the merge)
+        eff_bound = B
+        for k in range(m):
+            c = costs[k]
+            if c > eff_bound:
+                break  # costs ascend: no later single flip fits either
+            S2 = S + c
+            keep2 = S2 <= eff_bound
+            if not keep2.any():
+                continue
+            S = np.concatenate([S, S2[keep2]])
+            F2 = F[keep2].copy()
+            F2[:, k >> 6] |= np.uint64(1 << (k & 63))
+            F = np.concatenate([F, F2])
+            if kept_of is not None:
+                N = np.concatenate([N, N[keep2] + delta[k]])
+                kept = kept_of(N)
+                if kept.any():
+                    s0 = S[kept].min()
+                    if s0_kept is None or s0 < s0_kept:
+                        s0_kept = s0
+                        nb = min(eff_bound, s0_kept + bound_ml)
+                        if nb < eff_bound:
+                            eff_bound = nb
+                            keep = S <= eff_bound
+                            S, F, N = S[keep], F[keep], N[keep]
+                            kept = kept_of(N)
+                n_kept = int(kept.sum())
+            else:
+                kept = None
+                n_kept = len(S)
+            if cap is not None and n_kept > cap:
+                # prune everything above the cap-th smallest KEPT sum
+                # (+ exact ties of the cap-th); children sums only grow,
+                # so nothing pruned can produce a needed descendant
+                pool = S if kept is None else S[kept]
+                kth = np.partition(pool, cap - 1)[cap - 1]
+                keep = S <= kth
+                S = S[keep]
+                F = F[keep]
+                if kept_of is not None:
+                    N = N[keep]
+        if kept_of is None:
+            break
+        kept = kept_of(N)
+        n_kept = int(kept.sum())
+        # the pass covered everything the stopping rules can need if the
+        # kept set is complete up to min(kth kept, s0_kept + max_logval):
+        complete = B >= total or (
+            s0_kept is not None
+            and (
+                s0_kept + bound_ml <= B
+                or (cap is not None and n_kept >= cap)
+            )
+        )
+        if complete:
+            S, F = S[kept], F[kept]
+            break
+        # not enough sector matches within the bound: widen and restart
+        # (the heap's analogue pops unfiltered candidates until the
+        # stopping rules fire on the kept list)
+        B = min(max(2 * B, s0_kept + bound_ml if s0_kept is not None else B),
+                total)
+
     # surplus tail entries beyond chi_max+1 cannot move the cut (ok_cut is
     # False past the chi_max / svd_min bounds in any case), so no final cap
     sel = np.argsort(S, kind="stable")
     S = S[sel]
     F = F[sel]
     # bitmasks -> bool flips in rank space -> original positions -> XOR base
-    bits = (F[:, None] >> np.arange(m, dtype=np.uint64)[None, :]) & np.uint64(1)
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = (F[:, :, None] >> shifts[None, None, :]) & np.uint64(1)
     flips = np.zeros((len(F), m), bool)
-    flips[:, order] = bits.astype(bool)
+    flips[:, order] = bits.reshape(len(F), W * 64)[:, :m].astype(bool)
     sets = base_set[None, :] ^ flips
     sums = base_sum + S
     cut = trunc_par.truncate(sums)
@@ -267,14 +361,28 @@ def lowest_sums(
     base_set = a < 0  # subset with the smallest possible sum
     base_sum = float(a[base_set].sum())
 
-    if trunc_par.sectors is None and m <= 63:
-        # no sector filter: the enumeration is a pure k-smallest-subset-sums
-        # problem — use the vectorised merge (identical result, far less
-        # Python per cut; this stage is ~20 s of the L=1024 frontend).
-        # m <= 63 keeps the flip masks in uint64 (larger m means 2^63
-        # candidate subsets — chi_max pruning binds long before then, but
-        # the heap handles it without a width limit).
-        return _lowest_sums_batched(a, trunc_par, base_set, base_sum)
+    if _USE_BATCHED:
+        # vectorised merge (identical result, far less Python per cut; the
+        # heap was ~20 s of the L=1024 frontend, where n_entangled > 63
+        # per cut — flip masks are multi-word uint64 so no width limit).
+        # The sector filter rides along as a charge tracked per candidate:
+        # the charge depends only on the subset's net occupation delta vs
+        # the base.
+        charge_of = None
+        if trunc_par.sectors is not None:
+            n_base = int(base_set.sum())
+
+            def charge_of(d, _n=n_base):
+                n_occ = _n + d
+                if filled_left is not None:
+                    return filled_left + n_occ
+                if filled_right is not None:
+                    return filled_right + (m - n_occ)
+                return n_occ
+
+        return _lowest_sums_batched(
+            a, trunc_par, base_set, base_sum, charge_of
+        )
 
     if trunc_par.is_sector(charge(base_set)):
         sums.append(base_sum)

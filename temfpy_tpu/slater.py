@@ -1223,8 +1223,12 @@ class MPSTensorData:
                 )
             return out
         P_b = pow2(P, 256)
-        ub, inv_r = np.unique(rows, return_inverse=True)
-        uk, inv_c = np.unique(cols, return_inverse=True)
+        # rows/cols are Schmidt-state indices < nb/nk (a few thousand) while
+        # P reaches ~1e6 at chi >= 512: np.unique's sort was >80% of the
+        # whole plan_fill stage at L=1024 (round-5 cProfile); a flag-array
+        # unique + LUT inverse is O(P + nb)
+        ub, inv_r = _unique_small_ints(rows, len(self.sets_bra))
+        uk, inv_c = _unique_small_ints(cols, len(self.sets_ket))
         occ_b_u, _ = _occupation_indices(self.sets_bra[ub], w_b, m)
         occ_k_u, _ = _occupation_indices(self.sets_ket[uk], w_b, m)
         pad_row = m + np.arange(w_b, dtype=np.int32)
@@ -1276,12 +1280,12 @@ class MPSTensorData:
         P_b = max(256, 1 << int(np.ceil(np.log2(P)))) if pad_batch else P
 
         # occupation->index rows computed once per unique bond index
-        ub = np.unique(rows)
-        uk = np.unique(cols)
+        ub, inv_r = _unique_small_ints(rows, len(self.sets_bra))
+        uk, inv_c = _unique_small_ints(cols, len(self.sets_ket))
         occ_b, _ = _occupation_indices(self.sets_bra[ub], w_b, m)
         occ_k, _ = _occupation_indices(self.sets_ket[uk], w_b, m)
-        idx_b_rows = occ_b[np.searchsorted(ub, rows)]
-        idx_k_cols = occ_k[np.searchsorted(uk, cols)]
+        idx_b_rows = occ_b[inv_r]
+        idx_k_cols = occ_k[inv_c]
 
         # padded gather indices (dummies are all-sentinel: det = 1)
         pad_row = m + np.arange(w_b, dtype=np.int32)
@@ -1916,6 +1920,19 @@ def _unstack(x):
     """Splits a stacked array into per-entry arrays inside ONE executable
     (eager per-index slicing would compile one executable per index)."""
     return tuple(x)
+
+
+def _unique_small_ints(x, n):
+    """``np.unique(x, return_inverse=True)`` for int arrays with values in
+    [0, n): O(len(x) + n) flag array + lookup table instead of a sort —
+    the pair-id arrays of the fill plans hit ~1e6 elements with only a few
+    thousand distinct values."""
+    present = np.zeros(n, bool)
+    present[x] = True
+    u = np.flatnonzero(present)
+    lut = np.empty(n, np.int64)
+    lut[u] = np.arange(len(u))
+    return u, lut[x]
 
 
 def build_site_tensors(pairs):

@@ -6,7 +6,18 @@ import itertools
 import numpy as np
 import pytest
 
+import temfpy_tpu.schmidt_utils as su
 from temfpy_tpu.schmidt_utils import StoppingCondition, lowest_sums, to_stopping_condition
+
+
+def heap_lowest_sums(a, sc, **kw):
+    """The reference heap enumeration (batched fast path disabled)."""
+    prev = su._USE_BATCHED
+    su._USE_BATCHED = False
+    try:
+        return lowest_sums(a, sc, **kw)
+    finally:
+        su._USE_BATCHED = prev
 
 
 def brute_force_lowest_sums(a, k):
@@ -118,8 +129,7 @@ def test_lowest_sums_first_set_filtered():
 def test_lowest_sums_batched_matches_heap():
     """The vectorised trivial-sector path must reproduce the heap
     enumeration exactly: same sums, same subsets, same truncation; on
-    tie-free inputs, the same order.  (sectors=lambda: always-True forces
-    the heap path without changing semantics.)"""
+    tie-free inputs, the same order."""
     rng = np.random.default_rng(42)
     for trial in range(60):
         m = int(rng.integers(0, 20))
@@ -141,9 +151,7 @@ def test_lowest_sums_batched_matches_heap():
             else {}
         )
         s_f, x_f = lowest_sums(a, StoppingCondition(**kw), **fl)
-        s_h, x_h = lowest_sums(
-            a, StoppingCondition(sectors=lambda q: True, **kw), **fl
-        )
+        s_h, x_h = heap_lowest_sums(a, StoppingCondition(**kw), **fl)
         assert len(s_f) == len(s_h)
         np.testing.assert_allclose(s_f, s_h, rtol=0, atol=1e-12)
         key = lambda s, x: sorted(  # noqa: E731
@@ -151,5 +159,82 @@ def test_lowest_sums_batched_matches_heap():
             for v, row in zip(s, x)
         )
         assert key(s_f, x_f) == key(s_h, x_h)
+        if len(np.unique(np.round(s_h, 12))) == len(s_h):
+            assert np.array_equal(x_f, x_h), "order differs on tie-free input"
+
+
+def test_lowest_sums_wide_matches_heap():
+    """m > 64 (multi-word flip masks) must still match the heap — the
+    production L=1024 cuts carry > 63 entangled modes per cut, where a
+    uint64-masked fast path silently regressed to the heap in round 4."""
+    rng = np.random.default_rng(3)
+    for trial in range(8):
+        m = int(rng.integers(64, 150))
+        a = rng.normal(size=m) * rng.uniform(0.5, 3)
+        kw = {"chi_max": int(rng.integers(16, 80)), "svd_min": 1e-9}
+        fl = {"filled_left": 2} if trial % 2 else {}
+        if trial >= 6:
+            kw["sectors"] = lambda q, _p=trial % 2: q % 2 == _p
+        s_f, x_f = lowest_sums(a, StoppingCondition(**kw), **fl)
+        s_h, x_h = heap_lowest_sums(a, StoppingCondition(**kw), **fl)
+        assert len(s_f) == len(s_h)
+        np.testing.assert_allclose(s_f, s_h, rtol=0, atol=1e-12)
+        np.testing.assert_allclose(x_f @ a, s_f, atol=1e-12)
+        if len(np.unique(np.round(s_h, 12))) == len(s_h):
+            assert np.array_equal(x_f, x_h)
+
+
+def test_lowest_sums_sector_batched_matches_heap():
+    """The sector-filtered vectorised path must reproduce the heap: same
+    kept sums, same subsets, same truncation — across predicate forms
+    (int, iterable, callable), filled_left/right conventions, out-of-sector
+    bases, and sparse sectors that force the bound to widen."""
+    rng = np.random.default_rng(7)
+    for trial in range(120):
+        m = int(rng.integers(0, 16))
+        a = rng.normal(size=m) * rng.uniform(0.3, 4)
+        if trial % 4 == 0 and m > 3:  # exact degeneracies
+            a[1] = a[0]
+            a[m // 2] = -a[0]
+        kw = {}
+        if rng.random() < 0.7:
+            kw["chi_max"] = int(rng.integers(1, 60))
+        if rng.random() < 0.5:
+            kw["svd_min"] = float(np.exp(-rng.uniform(1, 6)))
+        r = rng.random()
+        if r < 0.3:
+            kw["sectors"] = int(rng.integers(0, m + 3))
+        elif r < 0.6:
+            kw["sectors"] = [
+                int(q) for q in rng.integers(0, m + 3, size=rng.integers(1, 4))
+            ]
+        elif r < 0.9:
+            par = int(rng.integers(0, 2))
+            kw["sectors"] = lambda q, _p=par: q % 2 == _p
+        else:
+            # sparse far sector: only reachable near max occupation, so
+            # the iterative bound widening must engage
+            kw["sectors"] = lambda q, _m=m: q >= _m - 1
+        fl = {}
+        fr = rng.random()
+        if fr < 0.4:
+            fl["filled_left"] = int(rng.integers(0, 4))
+        elif fr < 0.7:
+            fl["filled_right"] = int(rng.integers(0, 4))
+        sc = StoppingCondition(**kw)
+        try:
+            s_h, x_h = heap_lowest_sums(a, sc, **fl)
+        except Exception as exc:  # pathological: no sector match at all
+            with pytest.raises(type(exc)):
+                lowest_sums(a, sc, **fl)
+            continue
+        s_f, x_f = lowest_sums(a, sc, **fl)
+        assert len(s_f) == len(s_h), (trial, len(s_f), len(s_h))
+        np.testing.assert_allclose(s_f, s_h, rtol=0, atol=1e-12)
+        key = lambda s, x: sorted(  # noqa: E731
+            (round(float(v), 9), tuple(np.flatnonzero(row)))
+            for v, row in zip(s, x)
+        )
+        assert key(s_f, x_f) == key(s_h, x_h), trial
         if len(np.unique(np.round(s_h, 12))) == len(s_h):
             assert np.array_equal(x_f, x_h), "order differs on tie-free input"
