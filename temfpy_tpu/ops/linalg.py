@@ -888,3 +888,38 @@ def _det_swaps_group(M_aug, det_always, D0, G, P, T2, T3, sign,
 def _det_check_group(M_aug, det_always, idx_b, idx_k):
     """vmapped :func:`_det_check_impl` over a fixed-size chunk."""
     return jax.vmap(_det_check_impl)(M_aug, det_always, idx_b, idx_k)
+
+
+def _swap_probe_impl(M_aug, det_always, D0, G, P, T2, T3,
+                     Rin, Rout, Rpos, sgr, Cin, Cout, Cpos, sgc,
+                     pr, pc, idx_b, idx_k, *, s_b):
+    """Checked-subset probe of one rank-update (class, bucket): the swap
+    formula AND the direct LU evaluated on the ~dozens of checked pairs in
+    one dispatch, BEFORE the full pair batch is committed to the swap path.
+
+    The base-table pre-screen (|det base|, max|G|) cannot see failures of
+    this kind: a well-conditioned base can still hit near-singular
+    INTERMEDIATE configurations along the sequential swap chain (measured
+    on the pi-flux ansatz: a class with |det base| = 0.21, max|G| = 2.4
+    failing the 1e-8 cross-check).  The probe costs O(n_check * s^3) and
+    lets the caller route the whole class through the direct path with no
+    wasted full-batch swap dispatch and no post-hoc warning."""
+    rin = Rin[pr][:, :s_b]
+    rout = Rout[pr][:, :s_b]
+    rpos = Rpos[pr][:, :s_b]
+    cin = Cin[pc][:, :s_b]
+    cout = Cout[pc][:, :s_b]
+    cpos = Cpos[pc][:, :s_b]
+    sign = sgr[pr] * sgc[pc]
+    sw = _det_swaps_body(
+        M_aug, G, P, T2, T3, D0, sign, rin, rout, rpos, cin, cout, cpos
+    ) * det_always
+    dr = _det_check_impl(M_aug, det_always, idx_b, idx_k)
+    return sw, dr
+
+
+@partial(jax.jit, static_argnames=("s_b",))
+def _swap_probe_group(*args, s_b):
+    """vmapped :func:`_swap_probe_impl` over a fixed-size chunk of (class,
+    bucket) units sharing one shape family."""
+    return jax.vmap(partial(_swap_probe_impl, s_b=s_b))(*args)

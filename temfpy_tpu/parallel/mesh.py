@@ -165,6 +165,51 @@ def multichip_conversion_step(mesh: Mesh, L: int = 16, width: int = 4, n_pairs: 
     fid = abs(mps_ref.overlap(mps_mesh)) / max(mps_ref.norm_squared(), 1e-30)
     assert np.isfinite(fid) and fid > 1 - 1e-10
 
+    # ---- MESH-RESIDENT conversion: a load-bearing shape where the bond
+    # axis of the produced tensors stays sharded over an all-devices "cuts"
+    # axis (the chi >= 1024 residency wall, BASELINE.md round 4: replicated
+    # output is N_devices x 68 GB at the north-star shape).  Asserts the
+    # tensors ARE sharded, the per-device bytes balance, and the state
+    # matches the single-device conversion. ----
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    rmesh = Mesh(
+        np.asarray(mesh.devices).reshape(n_dev, 1), ("cuts", "pairs")
+    )
+    Lr = 48
+    rng2 = np.random.default_rng(11)
+    h2 = rng2.normal(size=(Lr, Lr))
+    h2 = h2 + h2.T
+    _e2, v2 = np.linalg.eigh(h2)
+    C2 = (v2[:, : Lr // 2] @ v2[:, : Lr // 2].T).astype(np.float64)
+    mps_r0 = slater.C_to_MPS(C2, {"chi_max": 48})
+    prev_min2 = _config.CHI_SHARD_MIN
+    _config.CHI_SHARD_MIN = 64  # bucketed bond = 64 -> gate fires
+    try:
+        with use_mesh(rmesh):
+            mps_res = slater.C_to_MPS(C2, {"chi_max": 48})
+    finally:
+        _config.CHI_SHARD_MIN = prev_min2
+    n_sharded = 0
+    per_dev: dict = {}
+    for t in mps_res._B:
+        sh = t.sharding.shard_shape(t.shape)
+        if sh != t.shape:
+            n_sharded += 1
+        for d in t.sharding.device_set:
+            per_dev[d.id] = per_dev.get(d.id, 0) + (
+                int(np.prod(t.sharding.shard_shape(t.shape)))
+                * t.dtype.itemsize
+            )
+    assert n_sharded >= Lr // 2, (
+        f"mesh-resident conversion produced only {n_sharded} sharded "
+        f"tensors of {Lr}"
+    )
+    bal = max(per_dev.values()) / max(min(per_dev.values()), 1)
+    assert bal < 1.01, f"per-device residency imbalance {per_dev}"
+    for a, b in zip(mps_r0._B, mps_res._B):
+        dev = float(jnp.abs(jnp.asarray(a) - jnp.asarray(b)).max())
+        assert dev < 1e-12, f"mesh-resident conversion deviates: {dev}"
+
     rng = np.random.default_rng(0)
     h = rng.normal(size=(L, L))
     h = h + h.T

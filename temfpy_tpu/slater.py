@@ -47,9 +47,9 @@ from .ops.linalg import (
     robust_eigh,
     det_swap_tables_group,
     scatter_vals_kernel,
-    _det_check_group,
     _det_check_impl,
     _det_direct_vals_impl,
+    _swap_probe_group,
 )
 from .schmidt_utils import lowest_sums, to_stopping_condition
 from . import profiling
@@ -715,12 +715,12 @@ _swap_tls = _threading.local()
 
 def _swap_stats() -> dict:
     if not hasattr(_swap_tls, "stats"):
-        _swap_tls.stats = {"classes": 0, "fallbacks": 0}
+        _swap_tls.stats = {"classes": 0, "fallbacks": 0, "wasted": 0}
     return _swap_tls.stats
 
 
 def _reset_swap_stats():
-    _swap_tls.stats = {"classes": 0, "fallbacks": 0}
+    _swap_tls.stats = {"classes": 0, "fallbacks": 0, "wasted": 0}
 
 
 def _swap_paying_off() -> bool:
@@ -996,6 +996,30 @@ def _chi_shard_mesh(shape_b):
     return None
 
 
+def _chi_shard_put(x, mesh):
+    """Device-put with the leading (bond) axis sharded over "cuts"."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    return jax.device_put(
+        x, NamedSharding(mesh, PartitionSpec("cuts", *[None] * (x.ndim - 1)))
+    )
+
+
+@lru_cache(maxsize=None)
+def _sharded_bond_slice(mesh, ndim: int):
+    """Bucketed-to-true-shape slice whose output stays bond-sharded over
+    the mesh "cuts" axis (see resolve_fill)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    out = NamedSharding(mesh, PartitionSpec("cuts", *[None] * (ndim - 1)))
+
+    @partial(jax.jit, static_argnames=("shape",), out_shardings=out)
+    def f(T, *, shape):
+        return T[tuple(slice(0, d) for d in shape)]
+
+    return f
+
+
 @lru_cache(maxsize=None)
 def _sharded_packed_fill(mesh, ndim: int):
     """chi-sharded :func:`_det_fill_packed_impl`: output bond axis sharded
@@ -1141,7 +1165,14 @@ class MPSTensorData:
         else:
             shape = (nb, nk)
 
-        use_swap = _use_det_updates()
+        # a chi-sharded fill keeps its scatter targets (and the resolved
+        # tensor) bond-sharded over the mesh; the rank-update partials are
+        # replicated full tensors, so mixing them in would re-materialise
+        # exactly the memory the sharding exists to avoid — route every
+        # pair direct when the chi-shard gate is active
+        use_swap = _use_det_updates() and (
+            _chi_shard_mesh(_bucket_shape(shape)) is None
+        )
 
         # matched pairs (equal particle count over the sometimes orbitals);
         # "near" pairs of large classes go through the rank-update path,
@@ -1639,21 +1670,29 @@ class MPSTensorData:
             st["classes"] += 1
             if not ok:
                 st["fallbacks"] += 1
+                if not ce.get("forced"):
+                    # a full swap dispatch already ran for this class and
+                    # its output is now discarded — the waste the probe /
+                    # pre-screen exist to prevent
+                    st["wasted"] = st.get("wasted", 0) + 1
 
             if ok:
                 for p in ce["parts"]:
                     T = add(T, p)
                 continue
             plan = ce["plan"]
-            if ce.get("forced"):
+            if ce.get("probe_failed"):
+                pass  # already logged at probe time
+            elif ce.get("forced"):
                 logger.info(
                     "rank-update base pre-screened as singular (class w=%d); "
                     "direct path", plan["w_b"],
                 )
             else:
                 logger.warning(
-                    "rank-update det cross-check failed (class w=%d); "
-                    "recomputing through the direct path", plan["w_b"],
+                    "rank-update det cross-check failed (class w=%d, "
+                    "|det base|=%s, max|G|=%s); recomputing through the "
+                    "direct path", plan["w_b"], ce.get("d0"), ce.get("gmax"),
                 )
             # recompute exactly the pairs the swap sub-plans covered ("far"
             # pairs of the class were already routed to the direct buckets)
@@ -1670,8 +1709,21 @@ class MPSTensorData:
                 vals, tuple(jnp.asarray(x) for x in scat),
                 shape=_bucket_shape(shape),
             ))
+        smesh = _chi_shard_mesh(_bucket_shape(shape))
+        if smesh is not None and shape[0] % smesh.shape["cuts"]:
+            # a sharded OUTPUT needs the true bond divisible by the mesh
+            # axis; edge cuts with ragged bonds are small — stay replicated
+            smesh = None
         if T is None:
-            return jnp.zeros(shape, dtype=self.sometimes_matrix.dtype)
+            Z = jnp.zeros(shape, dtype=self.sometimes_matrix.dtype)
+            return _chi_shard_put(Z, smesh) if smesh is not None else Z
+        if smesh is not None:
+            # MESH-RESIDENT output: slice inside a jit whose out_sharding
+            # pins the bond axis to the "cuts" axis — an eager slice lets
+            # sharding propagation replicate the result onto every device,
+            # which is exactly the chi >= 1024 memory wall (68 GB of
+            # tensors x N devices, BASELINE.md round 4 north-star OOM)
+            return _sharded_bond_slice(smesh, len(shape))(T, shape=shape)
         # partials live in the bucketed shape; slice to the true one
         return T[tuple(slice(0, d) for d in shape)]
 
@@ -2200,14 +2252,101 @@ def build_site_tensors(pairs):
             e["forced"] = bool(
                 float(abs(d0)) < 1e-12 or float(gm) > _SWAP_GMAX
             )
+            e["d0_host"] = float(abs(d0))
+            e["gmax_host"] = float(gm)
 
-    # stage B: per-bucket determinant batches + check oracles, chunked
+    # stage B0: checked-subset PROBE of every surviving class — the swap
+    # formula and the direct LU on the ~_N_CHECK checked pairs, fetched
+    # BEFORE the full pair batches dispatch.  The base-table screen cannot
+    # see near-singular INTERMEDIATE swap configurations (pi-flux classes
+    # with |det base| ~ 0.2, max|G| ~ 2 failing the 1e-8 cross-check,
+    # BENCH_r04 warnings); probing first turns those into forced direct
+    # routes with no wasted full swap dispatch and no post-hoc warning.
     subs = []
     for e in entries:
         if e.get("forced"):
             continue
         for sub in e["plan"]["sub"]:
             subs.append({"e": e, "sub": sub})
+    pgroups: dict = {}
+    for se in subs:
+        key = (
+            se["e"]["M_aug"].shape,
+            len(se["e"]["plan"]["r0"]),
+            se["sub"]["Rin"].shape,
+            se["sub"]["Cin"].shape,
+            se["sub"]["check_sel"].shape,
+            se["sub"]["s_b"],
+        )
+        pgroups.setdefault(key, []).append(se)
+    _pb = profiling.stage("fill/swap_probe")
+    _pb.__enter__()
+    probe_out = []
+    for key, ses in pgroups.items():
+        s_b = key[5]
+        for j0 in range(0, len(ses), GB):
+            chunk = ses[j0 : j0 + GB]
+            pad = chunk + [chunk[0]] * (GB - len(chunk))
+
+            def pstk(fn):
+                return jnp.stack([fn(se) for se in pad])
+
+            def pstkn(name):
+                return jnp.asarray(np.stack([se["sub"][name] for se in pad]))
+
+            sw_s, dr_s = _swap_probe_group(
+                pstk(lambda se: se["e"]["M_aug"]),
+                pstk(lambda se: datas[se["e"]["i"]].det_always),
+                pstk(lambda se: se["e"]["tables"][0]),
+                pstk(lambda se: se["e"]["tables"][1]),
+                pstk(lambda se: se["e"]["tables"][2]),
+                pstk(lambda se: se["e"]["tables"][3]),
+                pstk(lambda se: se["e"]["tables"][4]),
+                pstkn("Rin"), pstkn("Rout"), pstkn("Rpos"), pstkn("sgr"),
+                pstkn("Cin"), pstkn("Cout"), pstkn("Cpos"), pstkn("sgc"),
+                jnp.asarray(np.stack(
+                    [se["sub"]["pr"][se["sub"]["check_sel"]] for se in pad]
+                )),
+                jnp.asarray(np.stack(
+                    [se["sub"]["pc"][se["sub"]["check_sel"]] for se in pad]
+                )),
+                pstkn("check_idx_b"), pstkn("check_idx_k"),
+                s_b=s_b,
+            )
+            probe_out.append((chunk, sw_s, dr_s))
+    # evaluate: class-level scale over all its subs, then the same
+    # tolerance the resolve-time cross-check used
+    probes: dict = {}  # id(e) -> [(sw, dr), ...]
+    for chunk, sw_s, dr_s in probe_out:
+        sw_h, dr_h = np.asarray(sw_s), np.asarray(dr_s)
+        for t, se in enumerate(chunk):
+            probes.setdefault(id(se["e"]), []).append((sw_h[t], dr_h[t]))
+    for e in entries:
+        pl = probes.get(id(e))
+        if pl is None:
+            continue
+        scale = 1e-300
+        for _sw_v, dr in pl:
+            scale = max(scale, float(np.abs(dr).max()))
+        ok = all(
+            np.all(np.abs(sw_v - dr) <= 1e-8 * scale + 1e-8 * np.abs(dr))
+            for sw_v, dr in pl
+        )
+        if not ok:
+            e["forced"] = True
+            e["probe_failed"] = True
+            logger.info(
+                "rank-update probe failed (class w=%d, |det base|=%s, "
+                "max|G|=%s — near-singular intermediate swap); direct path",
+                e["plan"]["w_b"], e.get("d0_host"), e.get("gmax_host"),
+            )
+    _pb.__exit__(None, None, None)
+
+    # stage B: full per-bucket determinant batches of the probed-good
+    # classes (the probe IS the cross-check: same checked subset, same
+    # tolerance, evaluated identically — so no per-chunk oracle dispatch
+    # and no resolve-time check fetch remain)
+    subs = [se for se in subs if not se["e"].get("forced")]
     sgroups: dict = {}
     for se in subs:
         i = se["e"]["i"]
@@ -2245,7 +2384,7 @@ def build_site_tensors(pairs):
                         np.stack([se["sub"]["tabs"][a] for se in pad])
                     )
 
-            T_s, chk_s = _swap_fill_packed_group(
+            T_s, _chk_s = _swap_fill_packed_group(
                 stk(lambda se: se["e"]["M_aug"]),
                 stk(lambda se: datas[se["e"]["i"]].det_always),
                 stk(lambda se: se["e"]["tables"][0]),
@@ -2260,54 +2399,31 @@ def build_site_tensors(pairs):
                 stkn("check_sel"),
                 s_b=s_b, shape=shape_b, spec=spec,
             )
-            chkd_s = _det_check_group(
-                stk(lambda se: se["e"]["M_aug"]),
-                stk(lambda se: datas[se["e"]["i"]].det_always),
-                stkn("check_idx_b"),
-                stkn("check_idx_k"),
-            )
             T_u = _unstack(T_s)
-            chk_u = _unstack(chk_s)
-            chkd_u = _unstack(chkd_s)
             for t, se in enumerate(chunk):
                 se["part"] = T_u[t]
-                se["chk"] = (chk_u[t], chkd_u[t])
 
     _sw.__exit__(None, None, None)
 
-    # collate per-site class entries for the resolve
+    # collate per-site class entries for the resolve (checks stay empty:
+    # the probe already validated the checked subset at the same tolerance)
     for e in entries:
         ce = {
             "parts": [],
             "checks": [],
             "plan": e["plan"],
             "forced": e.get("forced", False),
+            "probe_failed": e.get("probe_failed", False),
+            "d0": e.get("d0_host"),
+            "gmax": e.get("gmax_host"),
         }
         for se in subs:
             if se["e"] is e:
                 ce["parts"].append(se["part"])
-                ce["checks"].append(se["chk"])
         site_classes.setdefault(e["i"], []).append(ce)
     _fg.__exit__(None, None, None)
 
     with profiling.stage("fill/resolve"):
-        # ONE device->host transfer for every cross-check value
-        handles = []
-        for classes in site_classes.values():
-            for ce in classes:
-                for a, d in ce["checks"]:
-                    handles.append(a)
-                    handles.append(d)
-        if handles:
-            flat = np.asarray(jnp.stack(handles))
-            k = 0
-            for classes in site_classes.values():
-                for ce in classes:
-                    ce["fetched"] = [
-                        (flat[k + 2 * j], flat[k + 2 * j + 1])
-                        for j in range(len(ce["checks"]))
-                    ]
-                    k += 2 * len(ce["checks"])
         for i, (shape, q_l, q_r, plans) in enumerate(fill_plans):
             if out[i] is not None:
                 continue

@@ -128,6 +128,57 @@ def test_swap_collapse_matches_fine_buckets(monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9)
 
 
+def _piflux_model(W=4, Lx=8):
+    """The BASELINE config-4 pi-flux cylinder (bench.py): symmetry-degenerate
+    Schmidt spectra whose rank-update classes hit near-singular INTERMEDIATE
+    swap configurations that the base-table pre-screen cannot see."""
+    L = W * Lx
+    H = np.zeros((L, L))
+
+    def idx(x, y):
+        return x * W + y % W
+
+    for x in range(Lx):
+        for y in range(W):
+            if x + 1 < Lx:
+                H[idx(x, y), idx(x + 1, y)] = H[idx(x + 1, y), idx(x, y)] = (
+                    -1.0 if y % 2 == 0 else 1.0
+                )
+            H[idx(x, y), idx(x, y + 1)] = H[idx(x, y + 1), idx(x, y)] = -1.0
+    H -= 1e-4 * np.diag(np.arange(L))
+    return H
+
+
+def test_swap_probe_no_wasted_dispatch(monkeypatch, caplog):
+    """On the pi-flux ansatz, every failing rank-update class must be
+    caught by the pre-screen or the checked-subset probe BEFORE its full
+    swap batch dispatches: zero resolve-time cross-check warnings, zero
+    wasted dispatches, and the result identical to the direct path
+    (round-4 VERDICT: six cross-check-failure warnings per bench lap)."""
+    import logging
+
+    H = _piflux_model()
+    C, _ = slater.correlation_matrix(H)
+    from temfpy_tpu.slater import spinful_correlation_matrix
+
+    C2 = spinful_correlation_matrix(C, True)
+
+    monkeypatch.setenv("TEMFPY_TPU_DET_UPDATES", "0")
+    mps_direct = slater.C_to_MPS(C2, {"chi_max": 128})
+
+    monkeypatch.setenv("TEMFPY_TPU_DET_UPDATES", "1")
+    with caplog.at_level(logging.WARNING, logger="temfpy_tpu.slater"):
+        mps_swap = slater.C_to_MPS(C2, {"chi_max": 128})
+    warns = [r for r in caplog.records if "cross-check failed" in r.message]
+    assert not warns, [r.message for r in warns]
+    st = sl._swap_stats()
+    assert st["wasted"] == 0, st
+    assert st["classes"] > 0, "swap path never engaged"
+
+    for a, b in zip(mps_direct._B, mps_swap._B):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9)
+
+
 def test_swap_path_exercised():
     """The bench-model conversion actually routes pairs through the
     rank-update path (guard against silently falling back to direct)."""

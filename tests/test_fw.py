@@ -122,6 +122,32 @@ def test_fw_conversion_matches_exact_frontend(monkeypatch):
     assert np.abs(C0 - C1).max() < 20 * fw.fw_total_tol(L)
 
 
+@pytest.mark.slow
+def test_fw_fidelity_at_auto_on_scale(monkeypatch):
+    """End-to-end FW-vs-exact conversion OVERLAP at the production auto-on
+    scale (L >= TEMFPY_TPU_FW_MIN_L = 768): the acceptance gates
+    (fw_accept_tol per site, fw_total_tol summed) trade frozen-mode error
+    for completion — this pins the traded error at the state level:
+    |<exact|fw>| >= 1 - 1e-9 (round-4 VERDICT weak #6)."""
+    L = 768
+    H = cylinder_H(L, W=8)
+    rng = np.random.default_rng(3)
+    H += np.diag(1e-3 * rng.normal(size=L))
+    trunc = {"chi_max": 48, "svd_min": 1e-5}
+    monkeypatch.setenv("TEMFPY_TPU_FW", "0")
+    mps0 = slater.H_to_MPS(H, trunc)
+    # TEMFPY_TPU_FW=1 forces the frontend on the CPU layout; the SCALE is
+    # the accelerator auto-on threshold (where the gates actually engage)
+    assert L >= fw.fw_min_L()
+    monkeypatch.setenv("TEMFPY_TPU_FW", "1")
+    mps1 = slater.H_to_MPS(H, trunc)
+    n0, n1 = mps0.norm_squared(), mps1.norm_squared()
+    f = abs(mps0.overlap(mps1)) / (n0 * n1) ** 0.5
+    # both conversions truncate identically (same spectra within the FW
+    # budget), so the overlap isolates the frontend's frozen-mode error
+    assert f > 1 - 1e-9, f"FW-vs-exact fidelity {f}"
+
+
 def test_fw_exact_fidelity_small(monkeypatch):
     """At L <= w0 the window is the whole chain: FW must be numerically
     exact; certify with the ED oracle."""
