@@ -35,3 +35,26 @@ def test_guide_code_fences_are_balanced():
     for md in root.glob("*.md"):
         fences = md.read_text().count("```")
         assert fences % 2 == 0, f"unbalanced code fences in {md.name}"
+
+
+def test_api_diff_clean():
+    """The reference's public surface is fully covered (tools/api_diff.py):
+    zero missing symbols, every delta justified inline."""
+    import pytest
+
+    if not pathlib.Path("/root/reference/src/temfpy").exists():
+        pytest.skip("reference checkout not present")
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1] / "tools"))
+    try:
+        import api_diff
+    finally:
+        sys.path.pop(0)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = api_diff.main()
+    assert rc == 0, buf.getvalue()
