@@ -109,6 +109,13 @@ def _project(
         P = P[xp.asarray(np.nonzero(masks[i])[0])][
             :, :, xp.asarray(np.nonzero(masks[i + 1])[0])
         ]
+        if xp is jnp:
+            # mesh-resident: the projected pair tensor keeps its bond axis
+            # sharded so the projected chain never materialises replicated
+            # (the downstream canonical sweep preserves the residency)
+            from .parallel.mesh import bond_shard_put
+
+            P = bond_shard_put(P)
         tensors.append(P)
         q_bonds.append(new_q_bond(mps.q_bond[2 * i], i, masks[i]))
         # the grouped pair inherits the pair's tensor charge: the bond

@@ -740,6 +740,20 @@ class MPS:
         # canonical sweep are dispatch-bound as jax eager ops (~0.4 ms each
         # in an accelerator process)
         xp = np if isinstance(G[0], np.ndarray) else jnp
+
+        # MESH-RESIDENT sweep: under an active mesh, every stored tensor of
+        # the sweep keeps its bond axis sharded over the devices, so the
+        # chain's residency stays ~1/N per device throughout (the north-star
+        # memory wall, BASELINE.md round 4: the sweep's working set is ONE
+        # site's matrix, but the CHAIN must never materialise replicated).
+        # The per-sector factorizations are unchanged — charged blocks are
+        # independent — so the result is bit-identical to the unsharded
+        # device sweep.
+        if xp is jnp:
+            from ..parallel.mesh import bond_shard_put as _shard
+        else:
+            def _shard(t):
+                return t
         qt = self.qtotal.copy()
         carry = xp.ones((1, 1), dtype=G[0].dtype)
         q_carry = self.q_bond[0].copy()
@@ -753,7 +767,7 @@ class MPS:
             Q, R, q_mid = charged_qr(
                 M, q_row, self.q_bond[i + 1], chinfo, qtotal=int(qt[i])
             )
-            A_list.append(Q.reshape(chiL, d, Q.shape[1]))
+            A_list.append(_shard(Q.reshape(chiL, d, Q.shape[1])))
             carry = R
             q_carry = chinfo.make_valid(np.asarray(q_mid) + qt[i])
             q_bonds.append(q_carry.copy())
@@ -803,12 +817,12 @@ class MPS:
                 chi_max=chi_max,
                 normalize=True,
             )
-            B_list[i] = Vh.reshape(Vh.shape[0], d, chiR)
+            B_list[i] = _shard(Vh.reshape(Vh.shape[0], d, chiR))
             S_list[i] = S
             q_bonds[i] = chinfo.make_valid(np.asarray(q_mid))
             carry = U * xp.asarray(S)[None, :]
         # leftmost carry is 1x1 phase; absorb into first tensor
-        B_list[0] = xp.einsum("ab,bnc->anc", carry, B_list[0])
+        B_list[0] = _shard(xp.einsum("ab,bnc->anc", carry, B_list[0]))
         S_list[0] = np.ones(1)
 
         self._B = B_list

@@ -923,3 +923,8 @@ def _swap_probe_group(*args, s_b):
     """vmapped :func:`_swap_probe_impl` over a fixed-size chunk of (class,
     bucket) units sharing one shape family."""
     return jax.vmap(partial(_swap_probe_impl, s_b=s_b))(*args)
+
+
+_swap_probe_kernel = partial(jax.jit, static_argnames=("s_b",))(
+    _swap_probe_impl
+)

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import numpy as np
@@ -315,3 +316,35 @@ def replicate(x):
     if mesh is None:
         return x
     return jax.device_put(x, NamedSharding(mesh, P()))
+
+
+def bond_shard_put(x, mesh: Mesh | None = None, min_dim: int = 64):
+    """Device-puts an MPS site tensor with its leading (bond) axis sharded
+    over ALL devices of ``mesh`` (the flattened mesh, not one axis: tensor
+    residency is what the sharding exists to bound — BASELINE.md round 4
+    measured the north-star output at 68 GB vs 16 GB of HBM, so every
+    device must hold 1/N of every produced tensor).
+
+    Ragged charged bonds rarely divide the device count, so the bond axis
+    is split ``g = gcd(bond, n_devices)`` ways and replicated across the
+    remaining ``n/g`` devices — per-device residency is ``1/g`` of the
+    tensor, degrading gracefully instead of falling back to full
+    replication.  No-op when no mesh is active, ``g == 1``, or the bond is
+    below ``min_dim`` (tiny edge tensors are cheaper replicated than
+    collective-gathered).  Host numpy inputs are left untouched — complex
+    tensors cannot live on TPU devices."""
+    mesh = mesh if mesh is not None else _ACTIVE_MESH
+    if mesh is None or isinstance(x, np.ndarray):
+        return x
+    n = int(np.prod(list(mesh.shape.values())))
+    if n <= 1 or x.ndim == 0 or x.shape[0] < min_dim:
+        return x
+    g = math.gcd(int(x.shape[0]), n)
+    if g <= 1:
+        return x
+    # (g, n/g) grid over ALL devices (independent of the active mesh's own
+    # axes, e.g. multichip_conversion_step's (N, 1) "cuts" grid): shard the
+    # bond g ways, replicate across the rest
+    grid = Mesh(np.asarray(mesh.devices).reshape(g, n // g), ("_bond", "_rep"))
+    spec = P("_bond", *([None] * (x.ndim - 1)))
+    return jax.device_put(x, NamedSharding(grid, spec))

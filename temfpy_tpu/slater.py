@@ -50,6 +50,7 @@ from .ops.linalg import (
     _det_check_impl,
     _det_direct_vals_impl,
     _swap_probe_group,
+    _swap_probe_kernel,
 )
 from .schmidt_utils import lowest_sums, to_stopping_condition
 from . import profiling
@@ -1619,8 +1620,53 @@ class MPSTensorData:
                 M_aug, jnp.asarray(plan["r0"]), jnp.asarray(plan["c0"])
             )
             centry = {"parts": [], "checks": [], "plan": plan}
+            # pre-screen + checked-subset probe BEFORE the full pair batch
+            # commits to the swap path (same gates as the grouped
+            # dispatcher): a failed class routes direct with no wasted
+            # dispatch and no post-hoc warning
+            d0 = float(np.abs(np.asarray(D0)))
+            gmax = float(jnp.max(jnp.abs(G)))
+            centry["d0"] = d0
+            centry["gmax"] = gmax
+            if d0 < 1e-12 or gmax > _SWAP_GMAX:
+                centry["forced"] = True
+                classes.append(centry)
+                continue
+            probe_ok = True
             for sub in plan["sub"]:
-                Tp, chk_swap = _swap_fill_packed_kernel(
+                sw, dr = _swap_probe_kernel(
+                    M_aug, self.det_always, D0, G, Pt, T2, T3,
+                    replicate(sub["Rin"]), replicate(sub["Rout"]),
+                    replicate(sub["Rpos"]), replicate(sub["sgr"]),
+                    replicate(sub["Cin"]), replicate(sub["Cout"]),
+                    replicate(sub["Cpos"]), replicate(sub["sgc"]),
+                    jnp.asarray(sub["pr"][sub["check_sel"]]),
+                    jnp.asarray(sub["pc"][sub["check_sel"]]),
+                    jnp.asarray(sub["check_idx_b"]),
+                    jnp.asarray(sub["check_idx_k"]),
+                    s_b=sub["s_b"],
+                )
+                sw_h, dr_h = np.asarray(sw), np.asarray(dr)
+                scale = max(1e-300, float(np.abs(dr_h).max()))
+                if not np.all(
+                    np.abs(sw_h - dr_h) <= 1e-8 * scale + 1e-8 * np.abs(dr_h)
+                ):
+                    probe_ok = False
+                    break
+            if not probe_ok:
+                centry["forced"] = True
+                centry["probe_failed"] = True
+                logger.info(
+                    "rank-update probe failed (class w=%d, |det base|=%.3g, "
+                    "max|G|=%.3g — near-singular intermediate swap); "
+                    "direct path", w_b, d0, gmax,
+                )
+                classes.append(centry)
+                continue
+            # probe passed on the checked subset at the cross-check
+            # tolerance; dispatch the full batches with empty checks
+            for sub in plan["sub"]:
+                Tp, _chk = _swap_fill_packed_kernel(
                     M_aug, self.det_always, D0, G, Pt, T2, T3,
                     replicate(sub["Rin"]), replicate(sub["Rout"]),
                     replicate(sub["Rpos"]), replicate(sub["sgr"]),
@@ -1631,13 +1677,7 @@ class MPSTensorData:
                     jnp.asarray(sub["check_sel"], dtype=jnp.int32),
                     s_b=sub["s_b"], shape=shape_b, spec=sub["spec"],
                 )
-                chk_dir = _det_check_impl(
-                    M_aug, self.det_always,
-                    jnp.asarray(sub["check_idx_b"]),
-                    jnp.asarray(sub["check_idx_k"]),
-                )
                 centry["parts"].append(Tp)
-                centry["checks"].append((chk_swap, chk_dir))
             classes.append(centry)
         return parts, classes
 
