@@ -99,12 +99,17 @@ def control(slater, pmesh, config):
             out = slater.C_to_MPS(C, {"chi_max": 64})
     finally:
         config.CHI_SHARD_MIN = prev
+    worst = 0.0
     for i, (a, b) in enumerate(zip(ref._B, out._B)):
         dev = float(np.abs(np.asarray(a) - np.asarray(b)).max())
-        assert dev == 0.0, f"control site {i} deviates by {dev}"
+        worst = max(worst, dev)
+        # mesh-resident slicing reassociates the fill reductions: ULP-level
+        # deviations are expected (same 1e-12 contract as the dryrun)
+        assert dev < 1e-12, f"control site {i} deviates by {dev}"
     n_sharded, per_dev, _ = shard_report(out._B)
     assert n_sharded > 0, "control conversion produced no sharded tensors"
-    print(f"small-scale control: bit-identity PASS ({n_sharded} sharded)")
+    print(f"small-scale control: PASS ({n_sharded} sharded, "
+          f"max dev {worst:.1e} < 1e-12)")
 
 
 def main(L=1024, chi=1024):

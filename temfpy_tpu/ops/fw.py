@@ -47,6 +47,23 @@ Gapless / critical correlation matrices where a site's error exceeds
 ``fw_accept_tol`` or the summed budget make ``fw_disentangle`` return
 None and the caller falls back to the compact host frontend (failure
 detection, not silent degradation).
+
+BdG / Pfaffian frontend: deliberately NOT wired (round 5).  The sweep
+extends in principle to Nambu correlation matrices — freeze Bogoliubov
+modes in particle-hole-conjugate PAIRS with symplectic (PH-commuting)
+reflectors so the frozen basis stays a valid Bogoliubov transformation —
+but three measured facts argue against building it now: (a) the
+Pfaffian path's frontend cost is dominated by the Nambu FRAME UPLOAD,
+already halved by shipping half-frames (BASELINE.md round 4), not by the
+host eigh the sweep would replace; (b) the BdG stress model (chiral
+p+ip cylinder) is quasi-gapless exactly like the Slater bench cylinder,
+where this sweep measures O(sum k_f^3) rather than the gapped-case
+O(L^2 w) — the regime where FW wins is the regime the Pfaffian bench
+never enters; (c) PH-paired freezing halves the available window
+directions, so the frozen-error floor for a given width w is strictly
+worse than the Slater case.  Revisit if a gapped large-L BdG workload
+appears; the fallback contract (return None -> exact frontend) is the
+designed extension seam.
 """
 
 from __future__ import annotations
