@@ -17,8 +17,15 @@ the sharding specs; wall-clock is NOT a TPU number) and records:
 - left/right canonicality residuals of sampled tensors.
 
 Run:
-    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
-        python examples/north_star_probe.py [L] [chi]
+    XLA_FLAGS="--xla_force_host_platform_device_count=8 \
+        --xla_cpu_collective_call_warn_stuck_timeout_seconds=600 \
+        --xla_cpu_collective_call_terminate_timeout_seconds=7200" \
+        JAX_PLATFORMS=cpu python examples/north_star_probe.py [L] [chi]
+
+(The collective timeout flags matter on few-core hosts: the in-process CPU
+communicator ABORTS an all-gather whose partner device's thunk lags past
+~8 min, and with 8 virtual devices serialized onto one core the sweep's
+per-site gathers legitimately queue that long at this scale.)
 """
 
 import resource

@@ -14,9 +14,17 @@ import sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "collective_call_terminate_timeout" not in flags:
+    # the in-process CPU communicator aborts a collective whose partner
+    # thread lags past ~8 min; on this 1-core box the 8 virtual devices'
+    # thunks serialize, so heavily queued mesh-resident runs (the slow-tier
+    # residency tests, examples/north_star_probe.py) can trip it — raise it
+    flags += (
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=7200"
+    )
+os.environ["XLA_FLAGS"] = flags
 
 # Prevent the axon PJRT plugin (registered via /root/.axon_site sitecustomize
 # on PYTHONPATH) from claiming the TPU tunnel inside test runs.
