@@ -79,12 +79,15 @@ def shard_report(tensors):
 
 
 def canonicality_residual(mps, sites):
-    """max over sampled sites of || sum_n B_n B_n^H - I || (B form)."""
+    """max over sampled sites of || sum_n B_n B_n^H - I || (B form).
+    Gathers each sampled tensor to HOST (np.asarray assembles the shards
+    without collectives) — an eager einsum on a bond-sharded tensor would
+    compile resharding collectives, the virtual-mesh deadlock class."""
     import jax.numpy as jnp
 
     worst = 0.0
     for i in sites:
-        B = jnp.asarray(mps._B[i])
+        B = jnp.asarray(np.asarray(mps._B[i]))
         if mps.form[i] == "A":  # left-canonical sites left of the center
             G = jnp.einsum("anb,anc->bc", B, B)
         else:

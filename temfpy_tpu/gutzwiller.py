@@ -104,6 +104,13 @@ def _project(
             )
         # host tensors project in numpy (dispatch-bound small ops otherwise)
         xp = np if isinstance(G[2 * i], np.ndarray) else jnp
+        if xp is jnp:
+            # one pair is the working set: gather the two site tensors
+            # (collective-free on virtual meshes), keep the chain sharded
+            from .parallel.mesh import gather_replicated
+
+            G[2 * i] = gather_replicated(G[2 * i])
+            G[2 * i + 1] = gather_replicated(G[2 * i + 1])
         T = xp.einsum("anb,bmc->anmc", G[2 * i], G[2 * i + 1])
         P = xp.stack([T[:, n, m, :] for (n, m) in keep], axis=1)
         P = P[xp.asarray(np.nonzero(masks[i])[0])][

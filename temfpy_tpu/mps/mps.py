@@ -751,8 +751,12 @@ class MPS:
         # device sweep.
         if xp is jnp:
             from ..parallel.mesh import bond_shard_put as _shard
+            from ..parallel.mesh import gather_replicated as _gather
         else:
             def _shard(t):
+                return t
+
+            def _gather(t):
                 return t
         qt = self.qtotal.copy()
         carry = xp.ones((1, 1), dtype=G[0].dtype)
@@ -760,7 +764,9 @@ class MPS:
         A_list, q_bonds = [], [self.q_bond[0].copy()]
         for i in range(L):
             d = self.sites[i].d
-            T = xp.einsum("ab,bnc->anc", carry, G[i])
+            # gather ONE site (the working set); the chain stays sharded
+            T = xp.einsum("ab,bnc->anc", carry, _gather(G[i]))
+            G[i] = None  # release the local ref as the sweep passes
             chiL, _, chiR = T.shape
             M = T.reshape(chiL * d, chiR)
             q_row = (q_carry[:, None] + self.sites[i].charges[None, :]).reshape(-1)
@@ -780,7 +786,9 @@ class MPS:
         phase = tail / norm
 
         # absorb the phase and norm into the last tensor for the next sweep
-        A_list[-1] = xp.einsum("anb,bc->anc", A_list[-1], phase)
+        A_list[-1] = _shard(
+            xp.einsum("anb,bc->anc", _gather(A_list[-1]), phase)
+        )
 
         # ---- right-to-left SVD sweep: truncate, collect Schmidt values ----
         B_list = [None] * L
@@ -792,7 +800,8 @@ class MPS:
         )
         carry = None
         for i in reversed(range(L)):
-            T = A_list[i]
+            T = _gather(A_list[i])
+            A_list[i] = None  # progressive release: bounds the A+B overlap
             if carry is not None:
                 T = xp.einsum("anb,bc->anc", T, carry)
             chiL, d, chiR = T.shape
@@ -822,7 +831,9 @@ class MPS:
             q_bonds[i] = chinfo.make_valid(np.asarray(q_mid))
             carry = U * xp.asarray(S)[None, :]
         # leftmost carry is 1x1 phase; absorb into first tensor
-        B_list[0] = _shard(xp.einsum("ab,bnc->anc", carry, B_list[0]))
+        B_list[0] = _shard(
+            xp.einsum("ab,bnc->anc", carry, _gather(B_list[0]))
+        )
         S_list[0] = np.ones(1)
 
         self._B = B_list

@@ -318,6 +318,36 @@ def replicate(x):
     return jax.device_put(x, NamedSharding(mesh, P()))
 
 
+def gather_replicated(x):
+    """The read side of :func:`bond_shard_put`: materialise one (possibly
+    bond-sharded) site tensor as an ordinary unsharded array.  The canonical
+    sweeps' working set is ONE site's matrix — gathering a single site while
+    the rest of the chain stays sharded preserves the ~1/N per-device
+    residency bound the sharding exists for.
+
+    On the in-process CPU platform (virtual meshes) this bounces through
+    host memory (a memcpy there): consuming a bond-sharded tensor with
+    eager ops compiles cross-grid resharding programs (all-gather /
+    collective-permute) whose per-device rendezvous can DEADLOCK under the
+    in-process communicator when dispatch order inverts across devices —
+    observed at the north-star shape (BASELINE.md round 5); the host bounce
+    removes the collective entirely.  On real accelerator platforms it
+    reshards on-device (one XLA all-gather over ICI)."""
+    if isinstance(x, np.ndarray) or not hasattr(x, "sharding"):
+        return x
+    try:
+        devs = x.sharding.device_set
+    except Exception:
+        return x
+    if len(devs) <= 1:
+        return x
+    if next(iter(devs)).platform == "cpu":
+        return jnp.asarray(np.asarray(x))
+    if isinstance(x.sharding, NamedSharding):
+        return jax.device_put(x, NamedSharding(x.sharding.mesh, P()))
+    return x
+
+
 def bond_shard_put(x, mesh: Mesh | None = None, min_dim: int = 64):
     """Device-puts an MPS site tensor with its leading (bond) axis sharded
     over ALL devices of ``mesh`` (the flattened mesh, not one axis: tensor
